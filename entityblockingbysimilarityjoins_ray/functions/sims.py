@@ -1,0 +1,286 @@
+"""Similarity functions: vectorized pair-batch kernels + scalar oracles.
+
+Semantics mirror /root/reference/cpp/common/simfunc.{h,cc} exactly:
+
+- overlap          |A ∩ B| (sorted-merge, simfunc.cc:10-41)
+- jaccard          ovlp/(|A|+|B|-ovlp); EMPTY ∧ EMPTY -> 1.0 (simfunc.cc:127-136)
+- cosine           ovlp/sqrt(|A|*|B|)           (simfunc.h:57-63)
+- dice             2*ovlp/(|A|+|B|)             (simfunc.h:65-71)
+- overlapCoeff     ovlp/min(|A|,|B|)            (simfunc.h:73-79)
+- weighted variants use wordwt[t]=log10(N/df(t)) and record weights
+  (tokenizer.cc:361-396): sim_w(A,B) = ovlp_w-based analogues
+- levDist/levSim   full DP / 1 - lev/max(len)   (simfunc.cc:85-119,285-290)
+- exactMatch       s1 == s2                     (simfunc.cc:292-295)
+- absoluteNorm     1 - |d1-d2|/max(|d1|,|d2|) with edge cases
+                   (simfunc.cc:297-315): empty or " " -> -1; |d|<1e-5 -> 0;
+                   reldiff<=1e-5 -> 1
+
+Batch kernels operate on flattened sorted-unique uint64 token lists
+(values+offsets) and are pure numpy — one vectorized binary-search intersect
+per pair batch, no Python loop over pairs.  Scalar mirrors at the bottom are
+the pytest brute-force oracles (reference test strategy,
+/root/reference/test/test_setjoin.cc:20-40).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PAIR_DT = np.dtype([("r", np.int64), ("t", np.int64)])
+
+
+def _as_struct(rows: np.ndarray, toks: np.ndarray) -> np.ndarray:
+    out = np.empty(rows.size, dtype=_PAIR_DT)
+    out["r"] = rows
+    out["t"] = toks
+    return out
+
+
+def flatten_lists(list_col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow ListArray (or ChunkedArray) -> (values int64, offsets int64)."""
+    import pyarrow as pa
+
+    if isinstance(list_col, pa.ChunkedArray):
+        list_col = list_col.combine_chunks()
+    offs = np.asarray(list_col.offsets, dtype=np.int64)
+    vals = np.asarray(list_col.flatten(), dtype=np.int64)
+    # offsets may not start at 0 for sliced arrays
+    if offs.size and offs[0] != 0:
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+    return vals, offs
+
+
+def pair_overlap(
+    va: np.ndarray, oa: np.ndarray, vb: np.ndarray, ob: np.ndarray
+) -> np.ndarray:
+    """|A_i ∩ B_i| for each pair i, vectorized.
+
+    Both sides are sorted-unique token lists; (row, token) keys are therefore
+    globally lexsorted, so a single vectorized binary search computes every
+    intersection at C speed (replaces the reference's per-pair sorted-merge
+    loop, simfunc.cc:10-41).
+    """
+    n = oa.size - 1
+    ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+    rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
+    A = _as_struct(ra, va)
+    B = _as_struct(rb, vb)
+    if A.size == 0 or B.size == 0:
+        return np.zeros(n, np.int64)
+    idx = np.searchsorted(B, A)
+    idx_c = np.minimum(idx, B.size - 1)
+    match = B[idx_c] == A
+    match &= idx < B.size
+    ovlp = np.zeros(n, np.int64)
+    np.add.at(ovlp, ra[match], 1)
+    return ovlp
+
+
+def pair_weighted_overlap(
+    va: np.ndarray,
+    oa: np.ndarray,
+    vb: np.ndarray,
+    ob: np.ndarray,
+    wt_tokens: np.ndarray,
+    wt_values: np.ndarray,
+    default_wt: float,
+) -> np.ndarray:
+    """Σ wordwt[t] over A_i ∩ B_i (weightedOverlap, simfunc.cc:44-73).
+
+    ``wt_tokens`` is a sorted uint64 array; tokens absent from it take
+    ``default_wt`` (the df=1 IDF — only df>=2 tokens are broadcast)."""
+    n = oa.size - 1
+    ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+    rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
+    A = _as_struct(ra, va)
+    B = _as_struct(rb, vb)
+    out = np.zeros(n, np.float64)
+    if A.size == 0 or B.size == 0:
+        return out
+    idx = np.searchsorted(B, A)
+    idx_c = np.minimum(idx, B.size - 1)
+    match = (B[idx_c] == A) & (idx < B.size)
+    toks = va[match]
+    wi = np.searchsorted(wt_tokens, toks)
+    wi_c = np.minimum(wi, max(wt_tokens.size - 1, 0))
+    if wt_tokens.size:
+        known = (wi < wt_tokens.size) & (wt_tokens[wi_c] == toks)
+        w = np.where(known, wt_values[wi_c], default_wt)
+    else:
+        w = np.full(toks.size, default_wt)
+    np.add.at(out, ra[match], w)
+    return out
+
+
+def set_sims_from_overlap(
+    ovlp: np.ndarray, la: np.ndarray, lb: np.ndarray, sim: str
+) -> np.ndarray:
+    """jac/cos/dice/overlap/ovlpcoeff from overlap counts + set sizes."""
+    la = la.astype(np.float64)
+    lb = lb.astype(np.float64)
+    o = ovlp.astype(np.float64)
+    both_empty = (la == 0) & (lb == 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if sim == "jac":
+            s = o / (la + lb - o)
+            s = np.where(both_empty, 1.0, s)  # simfunc.cc:129-130
+        elif sim == "cos":
+            s = o / np.sqrt(la * lb)
+            s = np.where(both_empty, 1.0, np.where((la == 0) | (lb == 0), 0.0, s))
+        elif sim == "dice":
+            s = 2.0 * o / (la + lb)
+            s = np.where(both_empty, 1.0, s)
+        elif sim == "ovlpcoeff":
+            s = o / np.minimum(la, lb)
+            s = np.where(both_empty, 1.0, np.where((la == 0) | (lb == 0), 0.0, s))
+        elif sim == "overlap":
+            s = o
+        else:
+            raise ValueError(sim)
+    return np.nan_to_num(s, nan=0.0, posinf=0.0, neginf=0.0) if sim != "overlap" else s
+
+
+def weighted_set_sims(
+    ovlp_w: np.ndarray, wa: np.ndarray, wb: np.ndarray, sim: str
+) -> np.ndarray:
+    """Weighted jac/cos/dice (simfunc.h:60-71 weighted overloads): record
+    weights wa/wb are Σ wordwt over the record's tokens (tokenizer.cc:388-396)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if sim == "jac":
+            s = ovlp_w / (wa + wb - ovlp_w)
+        elif sim == "cos":
+            s = ovlp_w / np.sqrt(wa * wb)
+        elif sim == "dice":
+            s = 2.0 * ovlp_w / (wa + wb)
+        else:
+            raise ValueError(sim)
+    return np.nan_to_num(s, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def absolute_norm_batch(a, b) -> np.ndarray:
+    """Vectorized absoluteNorm over string-typed numeric columns
+    (simfunc.cc:297-315)."""
+    import pandas as pd
+
+    sa = pd.Series(a, dtype=object).astype(str)
+    sb = pd.Series(b, dtype=object).astype(str)
+    bad = (sa == "") | (sb == "") | (sa == " ") | (sb == " ")
+    d1 = pd.to_numeric(sa, errors="coerce").to_numpy(np.float64)
+    d2 = pd.to_numeric(sb, errors="coerce").to_numpy(np.float64)
+    bad = bad.to_numpy() | np.isnan(d1) | np.isnan(d2)
+    d1 = np.nan_to_num(d1)
+    d2 = np.nan_to_num(d2)
+    near0 = (np.abs(d1) < 1e-5) | (np.abs(d2) < 1e-5)
+    maxv = np.maximum(np.abs(d1), np.abs(d2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.abs(d1 - d2) / maxv
+    rel = np.nan_to_num(rel, nan=0.0, posinf=0.0)
+    out = 1.0 - rel
+    out = np.where(rel <= 1e-5, 1.0, out)
+    out = np.where(near0, 0.0, out)
+    out = np.where(bad, -1.0, out)
+    return out
+
+
+def lev_dist_batch(a, b) -> np.ndarray:
+    """Vectorized Levenshtein distance via DuckDB's C kernel (falls back to
+    the pure-Python DP below).  Exact distance, same as simfunc.cc:85-119."""
+    import pandas as pd
+
+    try:
+        import duckdb
+
+        df = pd.DataFrame({"a": pd.Series(a, dtype=str), "b": pd.Series(b, dtype=str)})
+        con = _duck()
+        out = con.execute(
+            "SELECT levenshtein(a, b) FROM df"
+        ).fetchnumpy()
+        return next(iter(out.values())).astype(np.int64)
+    except ImportError:  # pragma: no cover
+        return np.array([lev_dist(x, y) for x, y in zip(a, b)], dtype=np.int64)
+
+
+_DUCK_CON = None
+
+
+def _duck():
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
+# ---------------------------------------------------------------------------
+# Scalar oracles (tests): literal ports of the formulas, NOT of the C++ code.
+# ---------------------------------------------------------------------------
+
+
+def overlap(s1, s2) -> int:
+    return len(set(s1) & set(s2))
+
+
+def jaccard(s1, s2) -> float:
+    if not s1 and not s2:
+        return 1.0  # simfunc.cc:129-130
+    o = overlap(s1, s2)
+    return o / (len(set(s1)) + len(set(s2)) - o)
+
+
+def cosine(s1, s2) -> float:
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    return overlap(s1, s2) / (len(set(s1)) * len(set(s2))) ** 0.5
+
+
+def dice(s1, s2) -> float:
+    if not s1 and not s2:
+        return 1.0
+    return 2.0 * overlap(s1, s2) / (len(set(s1)) + len(set(s2)))
+
+
+def overlap_coeff(s1, s2) -> float:
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    return overlap(s1, s2) / min(len(set(s1)), len(set(s2)))
+
+
+def lev_dist(v1: str, v2: str) -> int:
+    if not v1:
+        return len(v2)
+    if not v2:
+        return len(v1)
+    prev = list(range(len(v2) + 1))
+    for i, c1 in enumerate(v1, 1):
+        cur = [i] + [0] * len(v2)
+        for j, c2 in enumerate(v2, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2))
+        prev = cur
+    return prev[-1]
+
+
+def lev_sim(v1: str, v2: str) -> float:
+    return 1.0 - lev_dist(v1, v2) / max(len(v1), len(v2))
+
+
+def exact_match(s1: str, s2: str) -> bool:
+    return s1 == s2
+
+
+def absolute_norm(s1: str, s2: str) -> float:
+    if s1 in ("", " ") or s2 in ("", " "):
+        return -1.0
+    d1, d2 = float(s1), float(s2)
+    if abs(d1) < 1e-5 or abs(d2) < 1e-5:
+        return 0.0
+    diff = abs(d1 - d2)
+    maxv = max(abs(d1), abs(d2))
+    if diff / maxv <= 1e-5:
+        return 1.0
+    return 1.0 - diff / maxv

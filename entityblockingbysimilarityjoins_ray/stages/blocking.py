@@ -1,0 +1,549 @@
+"""Similarity-join blocking as Ray Data shuffles.
+
+Rebuilds the reference's rule-based blocker
+(/root/reference/cpp/blocker/simjoin_blocker.cc:8-177 dispatch: jac/cos/dice
+-> set-similarity join, overlap -> overlap join, lev -> edit join, exm ->
+exact join, anm -> numeric join) with prefix-filter semantics
+(AllPairs/PPJoin family; Bayardo et al. WWW'07, Vernica et al. SIGMOD'10)
+instead of the reference's shared-memory partition-based join
+(setjoin_parallel.cc) — the output PAIR SET is identical for the same
+(sim, delta), which pytest verifies against brute-force oracles, the
+reference's own test strategy (test/test_setjoin.cc:20-40).
+
+Physical plan per rule:
+
+  tokenize (map_batches, vectorized)                       [stateless tasks]
+  -> token df counts (partial agg per batch + groupby)      [small shuffle]
+  -> signature emission (actor pool holding broadcast df)   [stateless-ish]
+  -> groupby(pbucket) + vectorized within-bucket pair gen   [the big shuffle]
+  -> candidate dedup (hash-bucket groupby)                  [pair shuffle]
+  -> exact verify (broadcast lookup or Dataset.join)        [filter]
+
+Skew handling (explicit, north-rule requirement): prefix tokens are the
+globally rarest tokens of each record (df-ascending order, mirroring the
+reference's df-ordered token ids, tokenizer.cc:332-337), which already
+starves hot keys; any token with df > salt_df_threshold is additionally
+*triangle-salted* into salt_factor shards — records carry their shard u and
+are replicated to cells (u,u) and (min(u,v),max(u,v)) so each cell holds a
+bounded slice of the quadratic pair space and cells scatter across shuffle
+partitions.  Optional max_group_size caps runaway keys with LOGGED truncation
+(reference analogue: MAX_INV_SIZE, config.h:109-110 — never silent).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import PipelineConfig
+from ..functions.hashing import (
+    bipartite_pairs,
+    bucket_of,
+    group_sizes_from_sorted,
+    hash_strings,
+    within_group_pairs,
+)
+from ..functions.tokenize import tokens_list_array
+from .verify import verify_pairs
+
+logger = logging.getLogger(__name__)
+
+_EPS = 1e-9
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# tokenize + document frequencies
+# ---------------------------------------------------------------------------
+
+
+def tokenize_docs(
+    docs: "ray.data.Dataset", attr: str = "doc", tok: str = "dlm", q: int = 3
+) -> "ray.data.Dataset":
+    """Add sorted-unique token-hash set `toks` (list<u64>) + `tlen` for `attr`.
+
+    Mirrors the reference's per-(tok, settings, attr) tokenized datasets_map
+    (/root/reference/cpp/blocker/block.cc:204-273)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        la = tokens_list_array(t.column(attr), tok, q)
+        lens = np.diff(np.asarray(la.offsets, dtype=np.int64)).astype(np.int32)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "toks": la,
+                "tlen": pa.array(lens, type=pa.int32()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _partial_df(t: pa.Table) -> pa.Table:
+    """Per-batch partial document-frequency counts (combiner before shuffle)."""
+    col = t.column("toks")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = np.asarray(col.flatten(), dtype=np.int64)  # unique per record already
+    toks, cnt = np.unique(vals, return_counts=True)
+    return pa.table({"tok": pa.array(toks, type=pa.int64()), "df": pa.array(cnt, type=pa.int64())})
+
+
+def build_df_table(toks_ds: "ray.data.Dataset", min_df: int = 2):
+    """Global token document frequencies -> (sorted tok hashes, dfs) numpy.
+
+    Two-stage aggregation (partial per batch, then groupby-sum) replaces the
+    reference's global inverted-index pass (tokenizer.cc:300-331).  Only
+    df >= min_df tokens are kept: df=1 'widow' tokens cannot produce a
+    candidate pair (reference removeWidow, ovlpjoin.cc:398) so the broadcast
+    dictionary stays vocabulary-sized, not corpus-sized."""
+    agg = (
+        toks_ds.map_batches(_partial_df, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    pdf = agg.to_pandas()
+    pdf = pdf[pdf["df"] >= min_df]
+    toks = pdf["tok"].to_numpy(np.int64)
+    dfs = pdf["df"].to_numpy(np.int64)
+    order = np.argsort(toks)
+    return toks[order], dfs[order]
+
+
+def lookup_df(tok_arr: np.ndarray, df_toks: np.ndarray, df_vals: np.ndarray) -> np.ndarray:
+    """df per token (1 when absent from the broadcast table), vectorized."""
+    if df_toks.size == 0:
+        return np.ones(tok_arr.size, np.int64)
+    idx = np.searchsorted(df_toks, tok_arr)
+    idx_c = np.minimum(idx, df_toks.size - 1)
+    known = (idx < df_toks.size) & (df_toks[idx_c] == tok_arr)
+    return np.where(known, df_vals[idx_c], 1)
+
+
+# ---------------------------------------------------------------------------
+# prefix lengths (AllPairs bounds, verified against brute-force oracles)
+# ---------------------------------------------------------------------------
+
+
+def min_overlap_count(sim: str, threshold: float, lens: np.ndarray) -> np.ndarray:
+    """T(l): minimum overlap with the smallest eligible partner."""
+    l = lens.astype(np.float64)
+    if sim == "jac":
+        t = np.ceil(threshold * l - _EPS)
+    elif sim == "cos":
+        t = np.ceil(threshold * threshold * l - _EPS)
+    elif sim == "dice":
+        t = np.ceil(threshold / (2.0 - threshold) * l - _EPS)
+    elif sim == "overlap":
+        t = np.full(l.shape, float(int(threshold)))
+    else:
+        raise ValueError(sim)
+    return np.maximum(t, 1.0).astype(np.int64)
+
+
+def length_ratio(sim: str, threshold: float) -> float | None:
+    """alpha: eligible partner length in [alpha*l, l/alpha] (None = no filter)."""
+    if sim == "jac":
+        return threshold
+    if sim == "cos":
+        return threshold * threshold
+    if sim == "dice":
+        return threshold / (2.0 - threshold)
+    return None  # overlap join: only the removeShort bound applies
+
+
+# ---------------------------------------------------------------------------
+# signature emission (actor pool holding the broadcast df table)
+# ---------------------------------------------------------------------------
+
+
+class SignatureEmitter:
+    """Emit (tok, cell, side, id, tlen) prefix-signature rows per record.
+
+    State (the df table) is fetched from the object store ONCE per actor."""
+
+    def __init__(
+        self,
+        df_ref,
+        sim: str,
+        threshold: float,
+        pair_partitions: int,
+        salt_df_threshold: int,
+        salt_factor: int,
+    ):
+        self.df_toks, self.df_vals = ray.get(df_ref)
+        self.sim = sim
+        self.threshold = threshold
+        self.P = pair_partitions
+        self.salt_df = salt_df_threshold
+        self.s = salt_factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+        col = batch.column("toks")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        if offs.size and offs[0] != 0:
+            offs = offs - offs[0]
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        lens = np.diff(offs)
+        n = ids.size
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        dfs = lookup_df(vals, self.df_toks, self.df_vals)
+        # order each record's tokens rarest-first (df asc, tok asc) — the
+        # reference's global df-ordered id space (tokenizer.cc:332-337)
+        order = np.lexsort((vals, dfs, rows))
+        vals_o, dfs_o, rows_o = vals[order], dfs[order], rows[order]
+        pos = np.arange(vals_o.size) - np.repeat(offs[:-1], lens)
+
+        T = min_overlap_count(self.sim, self.threshold, lens)
+        prefix_len = lens - T + 1  # <=0 -> record cannot match (overlap removeShort)
+        keep = (pos < prefix_len[rows_o]) & (dfs_o >= 2)
+        tok_e, row_e = vals_o[keep], rows_o[keep]
+        df_e = dfs_o[keep]
+
+        # salting: records under a hot token replicate across triangle cells
+        u_of = bucket_of(hash_strings(ids), max(self.s, 1))
+        hot = df_e > self.salt_df
+        cold_tok, cold_row = tok_e[~hot], row_e[~hot]
+        cells = [(cold_tok, cold_row, np.zeros(cold_tok.size, np.int32), np.zeros(cold_tok.size, np.int8))]
+        if hot.any() and self.s > 1:
+            ht, hr = tok_e[hot], row_e[hot]
+            s = self.s
+            ht_r = np.repeat(ht, s)
+            hr_r = np.repeat(hr, s)
+            v = np.tile(np.arange(s, dtype=np.int64), ht.size)
+            u = u_of[hr_r]
+            i = np.minimum(u, v)
+            j = np.maximum(u, v)
+            cell = (i * s + j + 1).astype(np.int32)
+            side = np.where(u <= v, 0, 1).astype(np.int8)
+            side = np.where(u == v, 0, side).astype(np.int8)
+            cells.append((ht_r, hr_r, cell, side))
+        tok_all = np.concatenate([c[0] for c in cells])
+        row_all = np.concatenate([c[1] for c in cells])
+        cell_all = np.concatenate([c[2] for c in cells])
+        side_all = np.concatenate([c[3] for c in cells])
+
+        gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
+        pb = bucket_of(gmix, self.P)
+        return pa.table(
+            {
+                "pb": pa.array(pb, type=pa.int32()),
+                "tok": pa.array(tok_all, type=pa.int64()),
+                "cell": pa.array(cell_all, type=pa.int32()),
+                "side": pa.array(side_all, type=pa.int8()),
+                "id": pa.array(ids[row_all], type=pa.string()),
+                "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# within-bucket pair generation (vectorized; one call per shuffle partition)
+# ---------------------------------------------------------------------------
+
+
+def _pairgen_bucket(
+    t: pa.Table, *, alpha: float | None, max_group_size: int | None
+) -> pa.Table:
+    tok = np.asarray(t.column("tok"), dtype=np.int64)
+    cell = np.asarray(t.column("cell"), dtype=np.int64)
+    side = np.asarray(t.column("side"), dtype=np.int64)
+    ids = np.asarray(t.column("id").to_numpy(zero_copy_only=False)).astype("U")
+    tlen = np.asarray(t.column("tlen"), dtype=np.int64)
+    if tok.size == 0:
+        return pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
+
+    order = np.lexsort((side, cell, tok))
+    tok, cell, side, ids, tlen = tok[order], cell[order], side[order], ids[order], tlen[order]
+
+    gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
+    starts, sizes = group_sizes_from_sorted(gk)
+
+    if max_group_size is not None and sizes.size and sizes.max() > max_group_size:
+        big = int((sizes > max_group_size).sum())
+        dropped = int((sizes[sizes > max_group_size] - max_group_size).sum())
+        logger.warning(
+            "blocking: truncating %d hot groups (dropping %d signature rows, cap=%d)",
+            big, dropped, max_group_size,
+        )
+        keep_mask = np.ones(tok.size, bool)
+        local = np.arange(tok.size) - np.repeat(starts, sizes)
+        keep_mask = local < np.repeat(np.minimum(sizes, max_group_size), sizes)
+        tok, cell, side, ids, tlen = (
+            tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask], tlen[keep_mask]
+        )
+        gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
+        starts, sizes = group_sizes_from_sorted(gk)
+
+    # split each run into side-0 and side-1 halves (side sorted within run)
+    na = np.zeros(sizes.size, np.int64)
+    run_id = np.repeat(np.arange(sizes.size), sizes)
+    np.add.at(na, run_id[side == 0], 1)
+    nb = sizes - na
+
+    tri = nb == 0
+    i1, j1 = within_group_pairs(na[tri])
+    if i1.size:
+        # within_group_pairs indexes a back-to-back layout; shift to absolute
+        sizes_tri = na[tri]
+        rel_starts = np.concatenate(([0], np.cumsum(sizes_tri)[:-1]))
+        npairs_tri = sizes_tri * (sizes_tri - 1) // 2
+        grp = np.repeat(np.arange(sizes_tri.size), npairs_tri)
+        shift = starts[tri][grp] - rel_starts[grp]
+        i1 = i1 + shift
+        j1 = j1 + shift
+
+    cross = ~tri
+    i2, j2 = bipartite_pairs(
+        starts[cross], na[cross], starts[cross] + na[cross], nb[cross]
+    )
+
+    ii = np.concatenate((i1, i2))
+    jj = np.concatenate((j1, j2))
+    if ii.size == 0:
+        return pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
+
+    a_ids, b_ids = ids[ii], ids[jj]
+    mask = a_ids != b_ids
+    if alpha is not None:
+        la, lb = tlen[ii], tlen[jj]
+        lo = np.minimum(la, lb).astype(np.float64)
+        hi = np.maximum(la, lb).astype(np.float64)
+        mask &= lo >= alpha * hi - _EPS
+    a_ids, b_ids = a_ids[mask], b_ids[mask]
+    swap = a_ids > b_ids
+    id1 = np.where(swap, b_ids, a_ids)
+    id2 = np.where(swap, a_ids, b_ids)
+    return pa.table({"id1": pa.array(id1, pa.string()), "id2": pa.array(id2, pa.string())})
+
+
+def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str | None = None):
+    """Hash-bucket dedup of (id1,id2) [optionally keeping a multiplicity count
+    and max-sim], replacing groupby-on-every-pair with groupby-on-bucket +
+    vectorized pandas dedup (reference analogue: sort+unique dup check,
+    setjoin_parallel.h:321-328)."""
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_strings((df["id1"].astype(str) + "|" + df["id2"].astype(str)).to_numpy(object))
+        df = df.copy()
+        df["pb"] = bucket_of(h, num_partitions)
+        return df
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["pb"])
+        if count_col is None:
+            return df.drop_duplicates(["id1", "id2"])
+        g = df.groupby(["id1", "id2"], sort=False)
+        out = g.size().rename(count_col).reset_index()
+        if "sim" in df.columns:
+            out = out.merge(g["sim"].max().reset_index(), on=["id1", "id2"])
+        return out
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def _empty_pairs_ds(toks_ds, cfg: PipelineConfig):
+    """Pairs of empty-token records: jaccard(∅,∅)=1.0 (simfunc.cc:129-130)."""
+    import pyarrow.compute as pc
+
+    empties = toks_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["tlen"], 0)).select(["conv_id"]),
+        batch_format="pyarrow",
+    )
+    ids = [r["conv_id"] for r in empties.take_all()]
+    ids.sort()
+    if len(ids) > 2000:
+        logger.warning("blocking: %d empty records; capping empty-pair expansion at 2000", len(ids))
+        ids = ids[:2000]
+    rows = [
+        {"id1": ids[i], "id2": ids[j], "sim": 1.0}
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    ]
+    return ray.data.from_items(rows) if rows else None
+
+
+def setsim_self_join(
+    toks_ds: "ray.data.Dataset",
+    *,
+    sim: str,
+    threshold: float,
+    cfg: PipelineConfig,
+    df_table=None,
+    broadcast: bool | None = None,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Threshold set-similarity self-join (jac/cos/dice >= δ, or overlap >= c).
+
+    Output-equivalent to the reference's SetJoinParallel / OvlpSelfJoin
+    (setjoin_parallel.cc, ovlpjoin.cc) for the same (sim, threshold)."""
+    if df_table is None:
+        df_table = build_df_table(toks_ds)
+    df_ref = ray.put(df_table)
+    sigs = toks_ds.map_batches(
+        SignatureEmitter,
+        fn_constructor_args=(
+            df_ref, sim, threshold, cfg.pair_partitions, cfg.salt_df_threshold, cfg.salt_factor,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    candidates = sigs.groupby("pb").map_groups(
+        _pairgen_bucket,
+        fn_kwargs={"alpha": length_ratio(sim, threshold), "max_group_size": cfg.max_group_size},
+        batch_format="pyarrow",
+    )
+    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    if broadcast is None:
+        n_records = n_records if n_records is not None else toks_ds.count()
+        broadcast = n_records <= cfg.broadcast_limit
+    verified = verify_pairs(
+        candidates,
+        toks_ds,
+        sim=sim,
+        threshold=threshold,
+        broadcast=broadcast,
+        num_partitions=cfg.pair_partitions,
+    )
+    if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
+        ep = _empty_pairs_ds(toks_ds, cfg)
+        if ep is not None:
+            verified = verified.union(ep)
+    return verified
+
+
+def exact_self_join(
+    docs: "ray.data.Dataset", attr: str, cfg: PipelineConfig
+) -> "ray.data.Dataset":
+    """Equality self-join on an attribute (reference ExactJoin,
+    stringjoin.h:210-289): hash-bucket groupby on value hash + vectorized
+    within-equal-value pair generation; sim = 1.0 for every pair."""
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[attr].fillna("").to_numpy(object)
+        h = hash_strings(vals)
+        return pd.DataFrame(
+            {
+                "pb": bucket_of(h, cfg.pair_partitions),
+                "vh": h,
+                "id": df["conv_id"].astype(str),
+                "val": vals,
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vh = df["vh"].to_numpy(np.int64)
+        ids = df["id"].to_numpy().astype("U")
+        vals = df["val"].to_numpy(object)
+        order = np.argsort(vh, kind="stable")
+        vh, ids, vals = vh[order], ids[order], vals[order]
+        starts, sizes = group_sizes_from_sorted(vh)
+        ii, jj = within_group_pairs(sizes)
+        if ii.size:
+            rel = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            npg = sizes * (sizes - 1) // 2
+            grp = np.repeat(np.arange(sizes.size), npg)
+            shift = starts[grp] - rel[grp]
+            ii, jj = ii + shift, jj + shift
+        # guard against u64 hash collisions: require true value equality
+        if ii.size:
+            vals_u = np.asarray(vals, dtype="U")
+            eq = vals_u[ii] == vals_u[jj]
+            ii, jj = ii[eq], jj[eq]
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        return pd.DataFrame(
+            {"id1": np.where(swap, b, a), "id2": np.where(swap, a, b), "sim": 1.0}
+        )
+
+    out = (
+        docs.map_batches(sig, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return dedupe_pairs(out, cfg.pair_partitions)
+
+
+def anm_self_join(
+    docs: "ray.data.Dataset", attr: str, threshold: float, cfg: PipelineConfig
+) -> "ray.data.Dataset":
+    """absoluteNorm self-join: pairs with 1 - |d1-d2|/max(|d1|,|d2|) >= t
+    (reference brute-force loop, simjoin_blocker.cc:117-166; formula
+    simfunc.cc:297-315).  Distributed as log-ratio bucketing: values within
+    ratio t of each other land in the same or adjacent log-bucket, so each
+    record is emitted to its bucket and bucket+1 and pairs are generated
+    within buckets only — a sort-free band join."""
+    assert 0.0 < threshold < 1.0
+    w = -np.log(threshold)  # bucket width in log space
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[attr], errors="coerce").to_numpy(np.float64)
+        ids = df["conv_id"].astype(str).to_numpy(object)
+        ok = ~np.isnan(v) & (np.abs(v) >= 1e-5)  # |d|<1e-5 -> sim 0, never matches
+        v, ids = v[ok], ids[ok]
+        sign = np.sign(v).astype(np.int64)
+        b = np.floor(np.log(np.abs(v)) / w).astype(np.int64)
+        out = []
+        for shift in (0, 1):
+            out.append(
+                pd.DataFrame(
+                    {"bk": (b + shift) * 2 + (sign > 0), "own": shift == 0, "id": ids, "v": v}
+                )
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["pb"] = bucket_of(res["bk"].to_numpy(np.int64), cfg.pair_partitions)
+        return res
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2, outs = [], [], []
+        for _, g in df.groupby("bk", sort=False):
+            ids = g["id"].to_numpy().astype("U")
+            v = g["v"].to_numpy(np.float64)
+            own = g["own"].to_numpy(bool)
+            m = ids.size
+            if m < 2:
+                continue
+            ii, jj = within_group_pairs(np.array([m]))
+            # exclude guest-guest pairs: a both-native pair meets in its own
+            # bucket; counting it again where both are guests double-counts
+            keep = own[ii] | own[jj]
+            ii, jj = ii[keep], jj[keep]
+            d1, d2 = v[ii], v[jj]
+            maxv = np.maximum(np.abs(d1), np.abs(d2))
+            rel = np.abs(d1 - d2) / maxv
+            s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
+            ok = s >= threshold
+            ok &= ids[ii] != ids[jj]
+            a, b = ids[ii][ok], ids[jj][ok]
+            swap = a > b
+            out1.append(np.where(swap, b, a))
+            out2.append(np.where(swap, a, b))
+            outs.append(s[ok])
+        if not out1:
+            return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str), "sim": pd.Series(dtype=float)})
+        return pd.DataFrame(
+            {"id1": np.concatenate(out1), "id2": np.concatenate(out2), "sim": np.concatenate(outs)}
+        )
+
+    return (
+        docs.map_batches(sig, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -1,0 +1,136 @@
+"""Candidate-pair verification: exact similarity on full token sets.
+
+Replaces the reference's in-join positional-filter verification
+(/root/reference/cpp/common/setjoin_parallel.h:334-370) with a separate
+vectorized stage: candidate pairs are joined back to their token sets —
+either via a broadcast lookup held once per actor (small sides,
+``ray.put`` once / read per actor, never re-shipped per batch) or via two
+hash-partitioned ``Dataset.join`` shuffles (both-sides-large scale path) —
+then one vectorized binary-search intersect per batch computes the exact
+similarity and filters by threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import sims as S
+
+
+def collect_token_index(toks_ds: "ray.data.Dataset"):
+    """Materialize {conv_id -> token set} as flat numpy arrays + id index.
+
+    Only valid when the record table fits the driver/object store
+    (cfg.broadcast_limit); the join path below is the unbounded-scale path.
+    """
+    tbl = pa.concat_tables(
+        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in
+         ray.get(toks_ds.select_columns(["conv_id", "toks"]).to_arrow_refs())]
+    )
+    ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    vals, offs = S.flatten_lists(tbl.column("toks"))
+    index = pd.Index(ids)
+    return index, vals, offs
+
+
+def gather_lists(vals: np.ndarray, offs: np.ndarray, rows: np.ndarray):
+    """Select rows from a flattened list column -> new (vals, offs)."""
+    lens = np.diff(offs)[rows]
+    new_offs = np.zeros(rows.size + 1, np.int64)
+    np.cumsum(lens, out=new_offs[1:])
+    total = int(new_offs[-1])
+    out = np.empty(total, vals.dtype)
+    # vectorized gather: positions = start[row] + local arange
+    starts = offs[rows]
+    local = np.arange(total) - np.repeat(new_offs[:-1], lens)
+    out[:] = vals[np.repeat(starts, lens) + local]
+    return out, new_offs
+
+
+def _sim_batch(va, oa, vb, ob, sim: str) -> np.ndarray:
+    ovlp = S.pair_overlap(va, oa, vb, ob)
+    la, lb = np.diff(oa), np.diff(ob)
+    if sim == "overlap":
+        return ovlp.astype(np.float64)
+    return S.set_sims_from_overlap(ovlp, la, lb, sim)
+
+
+class BroadcastVerifier:
+    """Actor-pool pair verifier: token index loaded ONCE per actor."""
+
+    def __init__(self, toks_ref, sim: str, threshold: float):
+        self.index, self.vals, self.offs = ray.get(toks_ref)
+        self.sim = sim
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+        ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+        r1 = self.index.get_indexer(ids1)
+        r2 = self.index.get_indexer(ids2)
+        ok = (r1 >= 0) & (r2 >= 0)
+        ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
+        va, oa = gather_lists(self.vals, self.offs, r1)
+        vb, ob = gather_lists(self.vals, self.offs, r2)
+        s = _sim_batch(va, oa, vb, ob, self.sim)
+        keep = s >= self.threshold
+        return pa.table(
+            {
+                "id1": pa.array(ids1[keep], type=pa.string()),
+                "id2": pa.array(ids2[keep], type=pa.string()),
+                "sim": pa.array(s[keep], type=pa.float64()),
+            }
+        )
+
+
+def _verify_joined(batch: pa.Table, sim: str, threshold: float) -> pa.Table:
+    va, oa = S.flatten_lists(batch.column("toks1"))
+    vb, ob = S.flatten_lists(batch.column("toks2"))
+    s = _sim_batch(va, oa, vb, ob, sim)
+    keep = s >= threshold
+    out = batch.select(["id1", "id2"]).filter(pa.array(keep))
+    return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
+
+
+def _rename(ds, mapping):
+    cols = list(mapping.keys())
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.rename_columns([mapping[c] for c in cols])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def verify_pairs(
+    pairs_ds: "ray.data.Dataset",
+    toks_ds: "ray.data.Dataset",
+    *,
+    sim: str,
+    threshold: float,
+    broadcast: bool = True,
+    num_partitions: int = 64,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold."""
+    if broadcast:
+        ref = ray.put(collect_token_index(toks_ds))
+        return pairs_ds.map_batches(
+            BroadcastVerifier,
+            fn_constructor_args=(ref, sim, threshold),
+            batch_format="pyarrow",
+            batch_size=32768,
+            concurrency=concurrency or (1, 8),
+        )
+    t1 = _rename(toks_ds, {"conv_id": "cid1", "toks": "toks1"})
+    t2 = _rename(toks_ds, {"conv_id": "cid2", "toks": "toks2"})
+    joined = pairs_ds.join(
+        t1, join_type="inner", num_partitions=num_partitions, on=("id1",), right_on=("cid1",)
+    ).join(t2, join_type="inner", num_partitions=num_partitions, on=("id2",), right_on=("cid2",))
+    return joined.map_batches(
+        _verify_joined, fn_kwargs={"sim": sim, "threshold": threshold}, batch_format="pyarrow"
+    )

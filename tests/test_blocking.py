@@ -1,0 +1,118 @@
+"""Blocking joins vs brute-force oracles — the reference's own test strategy
+(/root/reference/test/test_setjoin.cc:20-40: run join, then O(n^2) nested-loop
+verification of the pair set)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+from entityblockingbysimilarityjoins_ray.functions import sims as S
+from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+from entityblockingbysimilarityjoins_ray.stages.blocking import (
+    anm_self_join,
+    exact_self_join,
+    setsim_self_join,
+    tokenize_docs,
+)
+
+CFG = PipelineConfig(num_buckets=8, pair_partitions=8, salt_df_threshold=40, salt_factor=4)
+
+
+@pytest.fixture(scope="module")
+def toks_dlm(tiny_docs):
+    docs, _ = tiny_docs
+    return tokenize_docs(docs, "doc", "dlm").materialize()
+
+
+def _oracle_pairs(pdocs, attr, tok, fn, threshold, q=3):
+    bags = {r.conv_id: oracle_tokens(getattr(r, attr), tok, q) for r in pdocs.itertuples()}
+    out = set()
+    for a, b in itertools.combinations(sorted(bags), 2):
+        if fn(bags[a], bags[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize(
+    "sim,threshold",
+    [("jac", 0.5), ("jac", 0.8), ("cos", 0.7), ("dice", 0.6), ("overlap", 12)],
+)
+def test_setsim_self_join_matches_bruteforce(tiny_docs, toks_dlm, sim, threshold):
+    _, pdocs = tiny_docs
+    pairs = setsim_self_join(toks_dlm, sim=sim, threshold=threshold, cfg=CFG)
+    rows = pairs.take_all()
+    got = {(r["id1"], r["id2"]) for r in rows}
+    fn = {"jac": S.jaccard, "cos": S.cosine, "dice": S.dice, "overlap": S.overlap}[sim]
+    exp = _oracle_pairs(pdocs, "doc", "dlm", fn, threshold)
+    assert got == exp
+    # verified sims must equal the oracle similarity exactly
+    bags = {r.conv_id: oracle_tokens(r.doc, "dlm") for r in pdocs.itertuples()}
+    for r in rows[:200]:
+        assert abs(r["sim"] - fn(bags[r["id1"]], bags[r["id2"]])) < 1e-12
+
+
+def test_setsim_qgram(tiny_docs):
+    docs, pdocs = tiny_docs
+    toks = tokenize_docs(docs, "head", "qgm", q=3).materialize()
+    pairs = setsim_self_join(toks, sim="jac", threshold=0.6, cfg=CFG)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    exp = _oracle_pairs(pdocs, "head", "qgm", S.jaccard, 0.6)
+    assert got == exp
+
+
+def test_setsim_salting_is_exact(tiny_docs, toks_dlm):
+    """Forcing every token through the salted path must not change the output."""
+    _, pdocs = tiny_docs
+    salted = PipelineConfig(num_buckets=8, pair_partitions=8, salt_df_threshold=1, salt_factor=5)
+    pairs = setsim_self_join(toks_dlm, sim="jac", threshold=0.6, cfg=salted)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    exp = _oracle_pairs(pdocs, "doc", "dlm", S.jaccard, 0.6)
+    assert got == exp
+
+
+def test_exact_join(tiny_docs):
+    docs, pdocs = tiny_docs
+    pairs = exact_self_join(docs, "head", CFG)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    exp = set()
+    vals = pdocs.set_index("conv_id")["head"]
+    for a, b in itertools.combinations(sorted(vals.index), 2):
+        if vals[a] == vals[b]:
+            exp.add((a, b))
+    assert got == exp
+
+
+def test_anm_join(tiny_docs):
+    docs, pdocs = tiny_docs
+    pairs = anm_self_join(docs, "n_turns", 0.8, CFG)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    exp = set()
+    vals = pdocs.set_index("conv_id")["n_turns"]
+    for a, b in itertools.combinations(sorted(vals.index), 2):
+        if S.absolute_norm(str(vals[a]), str(vals[b])) >= 0.8:
+            exp.add((a, b))
+    assert got == exp
+
+
+def test_empty_records_pair_at_one(ray_session):
+    from entityblockingbysimilarityjoins_ray.stages.canonicalize import canonicalize
+
+    tdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2", "c3", "c4"],
+            "turn_idx": np.int32([0, 0, 0, 0]),
+            "role": ["user"] * 4,
+            "text": ["", "", "a b c", ""],
+            "tool": [""] * 4,
+            "ts": pd.to_datetime(["2025-01-01"] * 4),
+        }
+    )
+    docs = canonicalize(ray.data.from_pandas(tdf), num_buckets=2)
+    toks = tokenize_docs(docs, "doc", "dlm")
+    pairs = setsim_self_join(toks, sim="jac", threshold=0.9, cfg=CFG)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    assert got == {("c1", "c2"), ("c1", "c4"), ("c2", "c4")}  # jaccard(∅,∅)=1.0
