@@ -1,0 +1,168 @@
+"""End-to-end entity-resolution pipeline over transcript Parquet.
+
+The canonical flow (reference lifecycle, SURVEY.md §3.1, re-expressed as one
+lazy Ray Data DAG with optional Parquet checkpoints between stages):
+
+    read_parquet(transcripts)
+      -> canonicalize (groupby conv_id, stable turn order)        [shuffle 1]
+      -> per-rule blocking joins -> OR-union + passed_rules       [shuffle 2]
+      -> feature extraction (actor pool, broadcast doc state)
+      -> match decision (threshold or random forest)
+      -> transitive clustering (connected components)             [shuffle 3]
+
+Rule union semantics mirror BlockerUtil::synthesizePairsSelf + mergePairs
+(/root/reference/cpp/blocker/blocker_util.cc:8-108): per-rule pair sets are
+OR-merged, pairs canonicalized to (min,max), and ``passed_rules`` counts how
+many rules fired per pair.  An ``exm`` rule on an attribute suppresses a
+duplicate exact join on the same attribute (simjoin_blocker.cc:86-95).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..config import BlockingRule, PipelineConfig
+from ..sources.io import checkpoint_stage, fingerprint
+from ..stages import blocking as B
+from ..stages.canonicalize import canonicalize
+from ..stages.cluster import cluster_entities
+from ..stages.editjoin import edit_self_join
+from ..stages.features import DEFAULT_FEATURES, extract_features
+from ..stages.matcher import pairwise_prf, threshold_match
+
+logger = logging.getLogger(__name__)
+
+
+def run_rule(
+    docs: "ray.data.Dataset",
+    rule: BlockingRule,
+    cfg: PipelineConfig,
+    toks_cache: dict | None = None,
+) -> "ray.data.Dataset":
+    """Dispatch one blocking rule to its join implementation
+    (simjoin_blocker.cc:8-177 dispatch table)."""
+    if rule.sim in ("jac", "cos", "dice", "overlap"):
+        key = (rule.attr, rule.tok, rule.q)
+        if toks_cache is not None and key in toks_cache:
+            toks = toks_cache[key]
+        else:
+            toks = B.tokenize_docs(docs, rule.attr, rule.tok, rule.q).materialize()
+            if toks_cache is not None:
+                toks_cache[key] = toks
+        return B.setsim_self_join(toks, sim=rule.sim, threshold=rule.threshold, cfg=cfg)
+    if rule.sim == "exm":
+        return B.exact_self_join(docs, rule.attr, cfg)
+    if rule.sim == "anm":
+        return B.anm_self_join(docs, rule.attr, rule.threshold, cfg)
+    if rule.sim == "lev":
+        return edit_self_join(docs, rule.attr, int(rule.threshold), cfg)
+    raise ValueError(f"unknown rule sim {rule.sim!r}")
+
+
+def union_rules(
+    rule_pairs: list["ray.data.Dataset"], cfg: PipelineConfig
+) -> "ray.data.Dataset":
+    """OR-union per-rule pair sets; output {id1,id2,passed_rules,sim}."""
+    assert rule_pairs
+    tagged = []
+    for ds in rule_pairs:
+        tagged.append(
+            ds.map_batches(
+                lambda df: df[["id1", "id2", "sim"]] if "sim" in df.columns
+                else df.assign(sim=np.nan)[["id1", "id2", "sim"]],
+                batch_format="pandas",
+            )
+        )
+    unioned = tagged[0]
+    for ds in tagged[1:]:
+        unioned = unioned.union(ds)
+    return B.dedupe_pairs(unioned, cfg.pair_partitions, count_col="passed_rules")
+
+
+def block(
+    docs: "ray.data.Dataset", cfg: PipelineConfig
+) -> "ray.data.Dataset":
+    """All configured rules -> unioned candidate pairs."""
+    toks_cache: dict = {}
+    per_rule = [run_rule(docs, r, cfg, toks_cache) for r in cfg.rules]
+    return union_rules(per_rule, cfg)
+
+
+def run_pipeline(
+    transcripts: "ray.data.Dataset",
+    cfg: PipelineConfig,
+    *,
+    gold_pairs: pd.DataFrame | None = None,
+    feature_specs=DEFAULT_FEATURES,
+    score_cols: list[str] | None = None,
+) -> dict:
+    """Full ER run; returns dict of stage datasets + metrics.
+
+    With cfg.checkpoint_dir set, each stage is checkpointed to Parquet with a
+    lineage manifest and reloaded on resume (fingerprint-matched)."""
+    ck = cfg.checkpoint_dir
+    metrics: dict = {}
+
+    fp_in = fingerprint("v1", cfg.num_buckets, cfg.doc_sep)
+
+    def docs_factory():
+        return canonicalize(transcripts, num_buckets=cfg.num_buckets, sep=cfg.doc_sep)
+
+    if ck:
+        docs, man = checkpoint_stage(docs_factory, os.path.join(ck, "docs"), fp_in, resume=cfg.resume)
+        metrics["docs"] = man
+    else:
+        docs = docs_factory().materialize()
+
+    fp_blk = fingerprint(fp_in, [r.name for r in cfg.rules], cfg.pair_partitions,
+                         cfg.salt_df_threshold, cfg.salt_factor, cfg.max_group_size)
+
+    def cand_factory():
+        return block(docs, cfg)
+
+    if ck:
+        candidates, man = checkpoint_stage(cand_factory, os.path.join(ck, "candidates"), fp_blk, resume=cfg.resume)
+        metrics["candidates"] = man
+    else:
+        candidates = cand_factory().materialize()
+
+    feats = extract_features(candidates, docs, feature_specs)
+    cols = score_cols or [s.name for s in feature_specs if s.sim in ("jac", "cos", "dice")]
+
+    fp_match = fingerprint(fp_blk, cols, cfg.match_threshold)
+
+    def match_factory():
+        return threshold_match(feats, score_cols=cols, threshold=cfg.match_threshold)
+
+    if ck:
+        matches, man = checkpoint_stage(match_factory, os.path.join(ck, "matches"), fp_match, resume=cfg.resume)
+        metrics["matches"] = man
+    else:
+        matches = match_factory().materialize()
+
+    clusters = cluster_entities(
+        matches,
+        docs.select_columns(["conv_id"]),
+        driver_limit=cfg.cc_driver_limit,
+        num_partitions=cfg.pair_partitions,
+        max_iters=cfg.cc_max_iters,
+    ).materialize()
+
+    if gold_pairs is not None:
+        mp = matches.select_columns(["id1", "id2"]).to_pandas()
+        metrics["match_prf"] = pairwise_prf(mp, gold_pairs)
+        cp = candidates.select_columns(["id1", "id2"]).to_pandas()
+        metrics["blocking_prf"] = pairwise_prf(cp, gold_pairs)
+
+    return {
+        "docs": docs,
+        "candidates": candidates,
+        "matches": matches,
+        "clusters": clusters,
+        "metrics": metrics,
+    }

@@ -1,0 +1,275 @@
+"""Match decision: threshold matcher + random-forest matcher + rule extraction.
+
+Reference analogues:
+- RF training on a labeled sample (driver-side; training sets are small by
+  construction): /root/reference/simjoin_entitymatching/matcher/random_forest.py:317-475
+- chunked RF prediction (one OS process per chunk) -> here an actor-pool
+  ``map_batches`` over feature batches: random_forest.py:618-735
+- tree-path -> blocking-rule extraction:
+  /root/reference/simjoin_entitymatching/blocker/graph.py:71-139 and
+  extract_formula.py:464-512 (walk root->positive-leaf paths, collect
+  (feature, sign, threshold), deduplicate by signature).
+
+sklearn is not available in this environment, so the forest is a small
+self-contained numpy CART implementation (gini impurity, bootstrap bagging,
+feature subsampling) — deterministic under a fixed seed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# threshold matcher
+# ---------------------------------------------------------------------------
+
+
+def threshold_match(
+    features: "ray.data.Dataset",
+    *,
+    score_cols: list[str],
+    threshold: float,
+    weights: list[float] | None = None,
+) -> "ray.data.Dataset":
+    """score = weighted mean of feature columns (NaN -> 0); match if >= t.
+
+    This is the reference's 'all similarity scores' decision
+    (topKviaAllSimilarityScores*, topk.h:162-191) applied as a filter."""
+    w = np.asarray(weights if weights is not None else [1.0] * len(score_cols))
+    w = w / w.sum()
+
+    def f(t: pa.Table) -> pa.Table:
+        m = np.column_stack(
+            [np.nan_to_num(np.asarray(t.column(c), dtype=np.float64)) for c in score_cols]
+        ) if t.num_rows else np.zeros((0, len(score_cols)))
+        score = m @ w
+        keep = score >= threshold
+        out = t.select(["id1", "id2"]).filter(pa.array(keep))
+        return out.append_column("score", pa.array(score[keep], pa.float64()))
+
+    return features.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# numpy CART + bagging forest
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Tree:
+    feature: np.ndarray  # -1 for leaf
+    threshold: np.ndarray
+    left: np.ndarray
+    right: np.ndarray
+    value: np.ndarray  # P(positive) at node
+
+
+def _gini_best_split(X, y, feat_ids, min_leaf):
+    best = (None, None, 0.0)  # feat, thr, gain
+    n = y.size
+    parent_pos = y.sum()
+    parent_gini = 1.0 - (parent_pos / n) ** 2 - ((n - parent_pos) / n) ** 2
+    for f in feat_ids:
+        x = X[:, f]
+        order = np.argsort(x, kind="stable")
+        xs, ys = x[order], y[order]
+        pos_left = np.cumsum(ys)[:-1]
+        nl = np.arange(1, n)
+        valid = xs[1:] != xs[:-1]
+        valid &= (nl >= min_leaf) & ((n - nl) >= min_leaf)
+        if not valid.any():
+            continue
+        nr = n - nl
+        pos_right = parent_pos - pos_left
+        gl = 1.0 - (pos_left / nl) ** 2 - ((nl - pos_left) / nl) ** 2
+        gr = 1.0 - (pos_right / nr) ** 2 - ((nr - pos_right) / nr) ** 2
+        gain = parent_gini - (nl * gl + nr * gr) / n
+        gain[~valid] = -1.0
+        k = int(np.argmax(gain))
+        if gain[k] > best[2] + 1e-12:
+            best = (f, (xs[k] + xs[k + 1]) / 2.0, float(gain[k]))
+    return best
+
+
+def _grow_tree(X, y, rng, max_depth, min_leaf, max_features):
+    feature, threshold, left, right, value = [], [], [], [], []
+
+    def rec(idx, depth):
+        node = len(feature)
+        feature.append(-1); threshold.append(0.0); left.append(-1); right.append(-1)
+        value.append(float(y[idx].mean()) if idx.size else 0.0)
+        if depth >= max_depth or idx.size < 2 * min_leaf or y[idx].min() == y[idx].max():
+            return node
+        nf = X.shape[1]
+        k = max(1, int(np.sqrt(nf))) if max_features == "sqrt" else nf
+        feats = rng.choice(nf, size=min(k, nf), replace=False)
+        f, thr, gain = _gini_best_split(X[idx], y[idx], feats, min_leaf)
+        if f is None:
+            return node
+        mask = X[idx, f] <= thr
+        feature[node] = int(f); threshold[node] = float(thr)
+        left[node] = rec(idx[mask], depth + 1)
+        right[node] = rec(idx[~mask], depth + 1)
+        return node
+
+    rec(np.arange(y.size), 0)
+    return _Tree(
+        np.array(feature), np.array(threshold), np.array(left), np.array(right), np.array(value)
+    )
+
+
+def _tree_predict(tree: _Tree, X: np.ndarray) -> np.ndarray:
+    node = np.zeros(X.shape[0], dtype=np.int64)
+    active = tree.feature[node] >= 0
+    while active.any():
+        f = tree.feature[node[active]]
+        thr = tree.threshold[node[active]]
+        goleft = X[active, f] <= thr
+        nxt = np.where(goleft, tree.left[node[active]], tree.right[node[active]])
+        node[active] = nxt
+        active = tree.feature[node] >= 0
+    return tree.value[node]
+
+
+@dataclass
+class RandomForest:
+    """Bagged CART forest; deterministic under seed."""
+
+    trees: list = field(default_factory=list)
+    feature_names: list = field(default_factory=list)
+
+    @classmethod
+    def train(
+        cls,
+        X: pd.DataFrame,
+        y: np.ndarray,
+        *,
+        n_estimators: int = 11,  # reference default (random_forest.py)
+        max_depth: int = 6,
+        min_leaf: int = 2,
+        seed: int = 42,
+    ) -> "RandomForest":
+        names = list(X.columns)
+        Xv = np.nan_to_num(X.to_numpy(np.float64))
+        yv = y.astype(np.float64)
+        rng = np.random.default_rng(seed)
+        trees = []
+        for _ in range(n_estimators):
+            idx = rng.integers(0, yv.size, yv.size)  # bootstrap
+            trees.append(_grow_tree(Xv[idx], yv[idx], rng, max_depth, min_leaf, "sqrt"))
+        return cls(trees=trees, feature_names=names)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.nan_to_num(X.astype(np.float64))
+        return np.mean([_tree_predict(t, X) for t in self.trees], axis=0)
+
+    def extract_rules(self, min_tree_frac: float = 0.5) -> list[dict]:
+        """Root->positive-leaf paths -> candidate blocking rules, deduped by
+        signature; keep predicates appearing in >= min_tree_frac of trees
+        (the reference's 'loosen until > half of trees covered' heuristic,
+        extract_formula.py:228-291, simplified to per-predicate coverage)."""
+        from collections import Counter, defaultdict
+
+        counts: Counter = Counter()
+        loosest: dict = defaultdict(lambda: None)
+        for t in self.trees:
+
+            def walk(node, path):
+                if t.feature[node] < 0:
+                    if t.value[node] >= 0.5:
+                        for f, sign, thr in path:
+                            key = (f, sign)
+                            counts[key] += 1
+                            cur = loosest[key]
+                            if cur is None or (sign == "+" and thr < cur) or (
+                                sign == "-" and thr > cur
+                            ):
+                                loosest[key] = thr
+                    return
+                f = int(t.feature[node])
+                thr = float(t.threshold[node])
+                walk(int(t.left[node]), path + [(f, "-", thr)])  # x <= thr
+                walk(int(t.right[node]), path + [(f, "+", thr)])  # x > thr
+
+            walk(0, [])
+        need = max(1, int(np.ceil(min_tree_frac * len(self.trees))))
+        rules = []
+        for (f, sign), c in counts.items():
+            if c >= need and sign == "+":  # positive-direction predicates block
+                rules.append(
+                    {
+                        "feature": self.feature_names[f],
+                        "sign": "+",
+                        "threshold": float(loosest[(f, "+")]),
+                        "trees": int(c),
+                    }
+                )
+        rules.sort(key=lambda r: (-r["trees"], r["feature"]))
+        return rules
+
+
+class RFScorer:
+    """Actor-pool RF prediction over feature batches (replaces the
+    reference's one-OS-process-per-chunk apply_model,
+    random_forest.py:709-735)."""
+
+    def __init__(self, model_ref, feature_cols, threshold: float = 0.5):
+        self.model: RandomForest = ray.get(model_ref)
+        self.cols = list(feature_cols)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+                 "proba": pa.array([], pa.float64()), "label": pa.array([], pa.int8())}
+            )
+        X = np.column_stack([np.asarray(t.column(c), dtype=np.float64) for c in self.cols])
+        p = self.model.predict_proba(X)
+        return pa.table(
+            {
+                "id1": t.column("id1"),
+                "id2": t.column("id2"),
+                "proba": pa.array(p, pa.float64()),
+                "label": pa.array((p >= self.threshold).astype(np.int8), pa.int8()),
+            }
+        )
+
+
+def rf_match(
+    features: "ray.data.Dataset", model: RandomForest, *, threshold: float = 0.5,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    ref = ray.put(model)
+    return features.map_batches(
+        RFScorer,
+        fn_constructor_args=(ref, model.feature_names, threshold),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# evaluation vs gold (reference get_recall / getStat semantics)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
+    """precision/recall/F1 of predicted pairs vs gold pairs (both id1<id2)."""
+    p = set(zip(pred["id1"], pred["id2"]))
+    g = set(zip(gold["id1"], gold["id2"]))
+    tp = len(p & g)
+    precision = tp / len(p) if p else 0.0
+    recall = tp / len(g) if g else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": len(p) - tp, "fn": len(g) - tp,
+        "precision": precision, "recall": recall, "f1": f1,
+    }

@@ -1,0 +1,116 @@
+"""End-to-end ER pipeline: F1 vs planted gold, rule union semantics,
+checkpoint/resume, determinism across parallelism levels (in-session proxy:
+different bucket counts must give identical results)."""
+
+import itertools
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.config import BlockingRule, PipelineConfig
+from entityblockingbysimilarityjoins_ray.fixtures import generate
+from entityblockingbysimilarityjoins_ray.pipelines.er import block, run_pipeline, union_rules
+from entityblockingbysimilarityjoins_ray.stages import blocking as B
+
+RULES = [
+    BlockingRule("doc", "jac", "dlm", threshold=0.35),
+    BlockingRule("doc", "cos", "dlm", threshold=0.5),
+    BlockingRule("head", "exm"),
+]
+
+
+def _cfg(**kw):
+    base = dict(num_buckets=8, pair_partitions=8, rules=RULES, match_threshold=0.42)
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(tiny_fixture):
+    tdf, gold_pairs, _ = tiny_fixture
+    res = run_pipeline(ray.data.from_pandas(tdf), _cfg(), gold_pairs=gold_pairs)
+    return res
+
+
+def test_match_f1_meets_target(pipeline_result):
+    prf = pipeline_result["metrics"]["match_prf"]
+    assert prf["f1"] >= 0.99, prf  # BASELINE.json criterion
+
+
+def test_clusters_match_gold_partition(pipeline_result, tiny_fixture):
+    _, _, gold_clusters = tiny_fixture
+    cl = pipeline_result["clusters"].to_pandas()
+
+    def part_pairs(df, col):
+        out = set()
+        for _, g in df.groupby(col):
+            ids = sorted(g["conv_id"])
+            out |= set(itertools.combinations(ids, 2))
+        return out
+
+    pred = part_pairs(cl, "entity_id")
+    gold = part_pairs(gold_clusters, "entity_id")
+    tp = len(pred & gold)
+    p = tp / max(len(pred), 1)
+    r = tp / len(gold)
+    assert p >= 0.99 and r >= 0.99, (p, r)
+
+
+def test_passed_rules_counts(tiny_docs):
+    """Rule-union semantics (blocker_util.cc:8-108): passed_rules = number of
+    rules whose join emitted the pair."""
+    docs, pdocs = tiny_docs
+    cfg = _cfg()
+    cands = block(docs, cfg).to_pandas()
+    assert cands.duplicated(["id1", "id2"]).sum() == 0
+    # spot check: recompute per-rule membership with oracles
+    from entityblockingbysimilarityjoins_ray.functions import sims as S
+    from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+
+    bags = {r.conv_id: oracle_tokens(r.doc, "dlm") for r in pdocs.itertuples()}
+    heads = pdocs.set_index("conv_id")["head"]
+    sample = cands.sample(n=min(150, len(cands)), random_state=0)
+    for r in sample.itertuples():
+        n = 0
+        n += S.jaccard(bags[r.id1], bags[r.id2]) >= 0.35
+        n += S.cosine(bags[r.id1], bags[r.id2]) >= 0.5
+        n += heads[r.id1] == heads[r.id2]
+        assert n == r.passed_rules, (r.id1, r.id2, n, r.passed_rules)
+
+
+def test_checkpoint_resume(tmp_path, tiny_fixture):
+    tdf, gold_pairs, _ = tiny_fixture
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(checkpoint_dir=ck, resume=True)
+    res1 = run_pipeline(ray.data.from_pandas(tdf), cfg, gold_pairs=gold_pairs)
+    man1 = json.load(open(os.path.join(ck, "candidates", "_MANIFEST.json")))
+    assert man1["complete"] and man1["rows"] > 0 and man1["partitions"]
+    # resume: stage dirs must be reused (manifest timestamps unchanged)
+    mtime = os.path.getmtime(os.path.join(ck, "candidates", "_MANIFEST.json"))
+    res2 = run_pipeline(ray.data.from_pandas(tdf), cfg, gold_pairs=gold_pairs)
+    assert os.path.getmtime(os.path.join(ck, "candidates", "_MANIFEST.json")) == mtime
+    m1 = res1["matches"].to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    m2 = res2["matches"].to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(m1, m2)
+    # config change invalidates the fingerprint -> recompute
+    cfg2 = _cfg(checkpoint_dir=ck, resume=True, match_threshold=0.5)
+    run_pipeline(ray.data.from_pandas(tdf), cfg2, gold_pairs=gold_pairs)
+    man3 = json.load(open(os.path.join(ck, "matches", "_MANIFEST.json")))
+    assert man3["fingerprint"] != man1.get("matches", {})
+
+
+def test_determinism_across_partitioning(tiny_fixture):
+    """Same input, different shuffle fanout -> identical pair sets
+    (FIXTURES.md F4 determinism criterion)."""
+    tdf, _, _ = tiny_fixture
+    outs = []
+    for nb, pp in [(4, 4), (16, 16)]:
+        cfg = _cfg(num_buckets=nb, pair_partitions=pp)
+        res = run_pipeline(ray.data.from_pandas(tdf), cfg)
+        m = res["matches"].to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+        outs.append(m[["id1", "id2"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
