@@ -1,44 +1,62 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship ER pipeline on the sf0.001 transcript fixture.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB twins; transcript queries read the deterministic
+  synthetic fixture parquet (generated eagerly below so the path exists when
+  the oracle runs), table queries use the pre-registered views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts -> canonicalize -> multi-rule blocking ->
+    feature scoring -> threshold match -> connected-component clustering;
+    returns the {conv_id, entity_id} cluster Dataset."""
+    import ray.data
+
+    from entityblockingbysimilarityjoins_ray.config import BlockingRule, PipelineConfig
+    from entityblockingbysimilarityjoins_ray.fixtures import ensure_fixture
+    from entityblockingbysimilarityjoins_ray.pipelines.er import run_pipeline
+
+    info = ensure_fixture("/root/testdata/sf0.001")
+    cfg = PipelineConfig(
+        num_buckets=16,
+        pair_partitions=16,
+        rules=[
+            BlockingRule("doc", "jac", "dlm", threshold=0.35),
+            BlockingRule("doc", "cos", "dlm", threshold=0.5),
+            BlockingRule("head", "exm"),
+        ],
+        match_threshold=0.42,
+    )
+    res = run_pipeline(ray.data.read_parquet(info["transcripts"]), cfg)
+    return res["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entityblockingbysimilarityjoins_ray.fixtures import ensure_fixture
+    from entityblockingbysimilarityjoins_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the sf0.01 fixture must exist before the driver runs any oracle SQL
+    # that read_parquet's it (driver compares at sf=0.01)
+    ensure_fixture("/root/testdata/sf0.01")
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entityblockingbysimilarityjoins_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -12,6 +12,24 @@ import pandas as pd
 
 _U64 = np.uint64
 
+# Per-worker-process broadcast cache: stateless map_batches tasks fetch large
+# read-only state (df tables, token indexes, models) from the object store
+# once per WORKER (ray.get of numpy/arrow data is zero-copy plasma), instead
+# of holding it in actor pools whose min-actor CPU reservations can deadlock
+# a small cluster when many stages run in one streaming plan.
+_STATE_CACHE: dict = {}
+
+
+def get_broadcast(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _STATE_CACHE:
+        import ray
+
+        _STATE_CACHE[key] = ray.get(ref)
+        if len(_STATE_CACHE) > 64:  # bound worker memory across many queries
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+    return _STATE_CACHE[key]
+
 
 def hash_strings(arr) -> np.ndarray:
     """Vectorized string -> 64-bit hash (deterministic siphash via pandas),

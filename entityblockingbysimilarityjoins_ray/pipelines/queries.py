@@ -1,0 +1,651 @@
+"""Driver-contract query registry: one Ray pipeline + one DuckDB oracle SQL
+per implemented operator (SURVEY.md §2 coverage).
+
+Two input families:
+
+- transcript queries run over the deterministic synthetic transcript fixture
+  (fixtures.py; BASELINE.json input_hint shape).  The oracle SQL reads the
+  same parquet via read_parquet('/tmp/ebsj_fixtures/sf0.01/...') — the driver
+  compares at sf=0.01 only, and ``queries()`` materializes that fixture
+  eagerly so the path always exists.
+- table queries run over the pre-registered testdata views
+  (documents/embeddings/events).
+
+Engine/SQL float determinism: every similarity is derived from integer
+counts with the same IEEE-double expression on both sides (o*1.0/(la+lb-o)
+etc.), additions in the same order — so the driver's value-hash matches
+bit-for-bit.  Ranks/counts are ints wherever float ties would be fragile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import BlockingRule, PipelineConfig
+from ..fixtures import ensure_fixture
+from ..stages import blocking as B
+from ..stages.canonicalize import canonicalize
+from ..stages.cluster import cluster_entities
+from ..stages.editjoin import edit_self_join
+from ..stages.text import lang_id as lang_id_stage
+
+SUBSET_MOD = 8  # blocking oracles run on conv_id-suffix % 8 == 0
+
+FIXTURE_SQL_PATH = "/tmp/ebsj_fixtures/sf0.01/transcripts.parquet"
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (kept in lockstep with the Ray kernels)
+# ---------------------------------------------------------------------------
+
+# regex seen by RE2: [ "',\\\t\r\n]+  (space dquote squote comma backslash tab cr lf)
+_DLM_RE_SQL = "[ \"'',\\\\\\t\\r\\n]+"
+
+_DOCS_CTE = f"""docs AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS doc,
+         arg_min(text, turn_idx) AS head,
+         count(*)::BIGINT AS n_turns
+  FROM read_parquet('{FIXTURE_SQL_PATH}')
+  GROUP BY conv_id)"""
+
+_SUBSET = f"(CAST(substr(conv_id, 5) AS INTEGER) % {SUBSET_MOD}) = 0"
+
+_SUB_CTE = f"sub AS (SELECT * FROM docs WHERE {_SUBSET})"
+
+_TOKS_CTE = (
+    "toks AS (SELECT conv_id, unnest(list_distinct(list_filter("
+    f"string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM sub)"
+)
+
+_SIZES_CTE = "sizes AS (SELECT conv_id, count(*)::BIGINT AS l FROM toks GROUP BY conv_id)"
+
+_INTER_CTE = (
+    "inter AS (SELECT a.conv_id AS id1, b.conv_id AS id2, count(*)::BIGINT AS o "
+    "FROM toks a JOIN toks b ON a.tok = b.tok AND a.conv_id < b.conv_id GROUP BY 1, 2)"
+)
+
+_PAIR_SIMS = (
+    "pairsims AS (SELECT i.id1, i.id2, i.o, sa.l AS la, sb.l AS lb FROM inter i "
+    "JOIN sizes sa ON i.id1 = sa.conv_id JOIN sizes sb ON i.id2 = sb.conv_id)"
+)
+
+
+def _subset_filter_ray(ds):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("conv_id")
+        n = np.asarray(pc.cast(pc.utf8_slice_codeunits(ids, 4, 99), pa.int64()))
+        return t.filter(pa.array(n % SUBSET_MOD == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _fixture_transcripts(sf_dir: str):
+    info = ensure_fixture(sf_dir)
+    return ray.data.read_parquet(info["transcripts"])
+
+
+def _docs(sf_dir: str, subset: bool):
+    t = _fixture_transcripts(sf_dir)
+    if subset:
+        t = _subset_filter_ray(t)
+    return canonicalize(t, num_buckets=32)
+
+
+def _cfg(**kw) -> PipelineConfig:
+    base = dict(num_buckets=32, pair_partitions=32)
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# transcript queries
+# ---------------------------------------------------------------------------
+
+
+def q_canonicalize(sf_dir: str):
+    d = _docs(sf_dir, subset=False)
+    return d.select_columns(["conv_id", "doc", "head", "n_turns", "n_chars"])
+
+
+SQL_CANONICALIZE = f"""WITH {_DOCS_CTE}
+SELECT conv_id, doc, head, n_turns, length(doc)::BIGINT AS n_chars FROM docs"""
+
+
+def q_token_df(sf_dir: str):
+    """Token string -> document frequency (df >= 2), dlm tokenizer on doc."""
+    d = _docs(sf_dir, subset=False)
+    from ..functions.tokenize import DLM_DELIMS  # noqa: F401  (delims doc)
+
+    import pyarrow.compute as pc
+    import re as _re
+    from ..config import DLM_DELIMS as _D
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t.column("doc"), "")
+        la = pc.split_pattern_regex(arr, pattern="[" + _re.escape(_D) + "]+")
+        la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+        offs = np.asarray(la.offsets)
+        rows = np.repeat(np.arange(len(la)), np.diff(offs))
+        flat = la.flatten()
+        keep = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
+        rows = rows[keep]
+        # per-record dedup then per-batch partial df
+        df = pd.DataFrame({"r": rows, "tok": toks}).drop_duplicates()
+        part = df.groupby("tok", sort=False).size().reset_index(name="df")
+        return pa.table({"tok": pa.array(part["tok"], pa.string()),
+                         "df": pa.array(part["df"].to_numpy(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = d.map_batches(explode, batch_format="pyarrow").groupby("tok").aggregate(
+        Sum("df", alias_name="df")
+    )
+    return agg.map_batches(
+        lambda df: df[df["df"] >= 2], batch_format="pandas"
+    )
+
+
+SQL_TOKEN_DF = f"""WITH {_DOCS_CTE}, sub AS (SELECT * FROM docs), {_TOKS_CTE}
+SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok HAVING count(*) >= 2"""
+
+
+def _block_setsim(sf_dir: str, sim: str, threshold: float):
+    d = _docs(sf_dir, subset=True)
+    toks = B.tokenize_docs(d, "doc", "dlm")
+    return B.setsim_self_join(toks.materialize(), sim=sim, threshold=threshold, cfg=_cfg())
+
+
+def q_block_jac(sf_dir: str):
+    return _block_setsim(sf_dir, "jac", 0.5)
+
+
+SQL_BLOCK_JAC = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS}
+SELECT id1, id2, o * 1.0 / (la + lb - o) AS sim FROM pairsims
+WHERE o * 1.0 / (la + lb - o) >= 0.5"""
+
+
+def q_block_overlap(sf_dir: str):
+    return _block_setsim(sf_dir, "overlap", 8)
+
+
+SQL_BLOCK_OVERLAP = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_INTER_CTE}
+SELECT id1, id2, o * 1.0 AS sim FROM inter WHERE o >= 8"""
+
+
+def q_block_exm_head(sf_dir: str):
+    d = _docs(sf_dir, subset=False)
+    return B.exact_self_join(d, "head", _cfg()).select_columns(["id1", "id2"])
+
+
+SQL_BLOCK_EXM_HEAD = f"""WITH {_DOCS_CTE}
+SELECT a.conv_id AS id1, b.conv_id AS id2 FROM docs a JOIN docs b
+ON a.head = b.head AND a.conv_id < b.conv_id"""
+
+
+def q_block_anm_turns(sf_dir: str):
+    d = _docs(sf_dir, subset=True)
+    return B.anm_self_join(d, "n_turns", 0.8, _cfg())
+
+
+SQL_BLOCK_ANM = f"""WITH {_DOCS_CTE}, {_SUB_CTE}
+SELECT a.conv_id AS id1, b.conv_id AS id2,
+       CASE WHEN abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) <= 1e-5 THEN 1.0
+            ELSE 1.0 - abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) END AS sim
+FROM sub a JOIN sub b ON a.conv_id < b.conv_id
+WHERE (CASE WHEN abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) <= 1e-5 THEN 1.0
+            ELSE 1.0 - abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) END) >= 0.8"""
+
+
+def q_block_lev_head(sf_dir: str):
+    d = _docs(sf_dir, subset=True)
+    return edit_self_join(d, "head", 2, _cfg())
+
+
+SQL_BLOCK_LEV = f"""WITH {_DOCS_CTE}, {_SUB_CTE}
+SELECT a.conv_id AS id1, b.conv_id AS id2,
+       levenshtein(a.head, b.head) * 1.0 AS sim
+FROM sub a JOIN sub b ON a.conv_id < b.conv_id
+WHERE levenshtein(a.head, b.head) <= 2"""
+
+
+def q_block_rules_union(sf_dir: str):
+    """OR-union of three rules with passed_rules count
+    (blocker_util.cc:8-108 semantics)."""
+    from .er import union_rules
+
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    cfg = _cfg()
+    r1 = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=cfg)
+    r2 = B.setsim_self_join(toks, sim="overlap", threshold=8, cfg=cfg)
+    r3 = B.exact_self_join(d, "head", cfg)
+    return union_rules([r1, r2, r3], cfg).select_columns(["id1", "id2", "passed_rules"])
+
+
+SQL_BLOCK_RULES_UNION = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS},
+r1 AS (SELECT id1, id2 FROM pairsims WHERE o * 1.0 / (la + lb - o) >= 0.5),
+r2 AS (SELECT id1, id2 FROM pairsims WHERE o >= 8),
+r3 AS (SELECT a.conv_id AS id1, b.conv_id AS id2 FROM sub a JOIN sub b
+       ON a.head = b.head AND a.conv_id < b.conv_id),
+un AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+SELECT id1, id2, count(*)::BIGINT AS passed_rules FROM un GROUP BY id1, id2"""
+
+
+def q_topk_blended(sf_dir: str):
+    """Top-50 pairs by blended 4-sim score (TA top-k semantics,
+    topk.cc:60-94 + 539-649: output-size cap with deterministic ties)."""
+    d = _docs(sf_dir, subset=True)
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    cfg = _cfg()
+    pairs = B.setsim_self_join(toks, sim="overlap", threshold=1, cfg=cfg)
+
+    from ..functions import sims as S
+    from ..stages.verify import collect_token_index, gather_lists
+
+    from ..functions.hashing import get_broadcast
+
+    ref = ray.put(collect_token_index(toks))
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        class _S:
+            pass
+
+        self = _S()
+        self.index, self.vals, self.offs = get_broadcast(ref)
+        if True:
+            if t.num_rows == 0:
+                return pa.table({"id1": pa.array([], pa.string()),
+                                 "id2": pa.array([], pa.string()),
+                                 "score": pa.array([], pa.float64())})
+            ids1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+            ids2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+            r1 = self.index.get_indexer(ids1)
+            r2 = self.index.get_indexer(ids2)
+            va, oa = gather_lists(self.vals, self.offs, r1)
+            vb, ob = gather_lists(self.vals, self.offs, r2)
+            o = S.pair_overlap(va, oa, vb, ob).astype(np.float64)
+            la = np.diff(oa).astype(np.float64)
+            lb = np.diff(ob).astype(np.float64)
+            # same expression order as the SQL oracle (left-assoc adds)
+            score = o / (la + lb - o)
+            score = score + o / np.sqrt(la * lb)
+            score = score + 2.0 * o / (la + lb)
+            score = score + o / np.minimum(la, lb)
+            return pa.table({"id1": pa.array(ids1, pa.string()),
+                             "id2": pa.array(ids2, pa.string()),
+                             "score": pa.array(score, pa.float64())})
+
+    scored = pairs.map_batches(score_fn, batch_format="pyarrow")
+    top = scored.to_pandas().sort_values(
+        ["score", "id1", "id2"], ascending=[False, True, True], kind="stable"
+    ).head(50)
+    return top.reset_index(drop=True)
+
+
+SQL_TOPK_BLENDED = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS}
+SELECT id1, id2,
+       o * 1.0 / (la + lb - o) + o * 1.0 / sqrt(la * 1.0 * lb)
+       + 2.0 * o / (la + lb) + o * 1.0 / least(la, lb) AS score
+FROM pairsims
+ORDER BY score DESC, id1, id2 LIMIT 50"""
+
+
+def q_cluster_jac(sf_dir: str):
+    """Connected components of the jac>=0.5 match graph (subset) with
+    singleton conversations labeling themselves."""
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    pairs = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=_cfg())
+    return cluster_entities(pairs, d.select_columns(["conv_id"]), driver_limit=2_000_000)
+
+
+SQL_CLUSTER_JAC = f"""WITH RECURSIVE {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS},
+match AS (SELECT id1, id2 FROM pairsims WHERE o * 1.0 / (la + lb - o) >= 0.5),
+edges AS (SELECT id1 AS a, id2 AS b FROM match UNION ALL SELECT id2, id1 FROM match),
+reach(src, dst) AS (
+  SELECT conv_id, conv_id FROM sub
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS conv_id, min(dst) AS entity_id FROM reach GROUP BY src"""
+
+
+def q_megallen_wide(sf_dir: str):
+    """Megallen wide pair table (io.cc:989-1069 format): jac pairs joined
+    back to both sides' attributes via Dataset.join."""
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    pairs = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=_cfg())
+    attrs = d.select_columns(["conv_id", "head", "n_turns"])
+
+    def ren(ds, prefix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"{prefix}{c}" for c in t.column_names])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    from ..stages.joins import hash_join
+
+    a = ren(attrs, "l_")
+    b = ren(attrs, "r_")
+    j = hash_join(
+        pairs.select_columns(["id1", "id2"]), a, on="id1", right_on="l_conv_id", num_partitions=8
+    )
+    j = hash_join(j, b, on="id2", right_on="r_conv_id", num_partitions=8)
+    return j.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "ltable_id": df["id1"], "rtable_id": df["id2"],
+                "ltable_head": df["l_head"], "rtable_head": df["r_head"],
+                "ltable_n_turns": df["l_n_turns"].astype(np.int64),
+                "rtable_n_turns": df["r_n_turns"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_MEGALLEN_WIDE = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS},
+match AS (SELECT id1, id2 FROM pairsims WHERE o * 1.0 / (la + lb - o) >= 0.5)
+SELECT m.id1 AS ltable_id, m.id2 AS rtable_id,
+       a.head AS ltable_head, b.head AS rtable_head,
+       a.n_turns AS ltable_n_turns, b.n_turns AS rtable_n_turns
+FROM match m JOIN sub a ON m.id1 = a.conv_id JOIN sub b ON m.id2 = b.conv_id"""
+
+
+def q_er_f1_report(sf_dir: str):
+    """Full ER pipeline vs planted gold: one-row metrics (rows-only check —
+    the pipeline itself is the system under test, not SQL-expressible)."""
+    from .er import run_pipeline
+
+    info = ensure_fixture(sf_dir)
+    gold = pd.read_parquet(info["gold_pairs"])
+    t = ray.data.read_parquet(info["transcripts"])
+    cfg = _cfg(
+        rules=[
+            BlockingRule("doc", "jac", "dlm", threshold=0.35),
+            BlockingRule("doc", "cos", "dlm", threshold=0.5),
+            BlockingRule("head", "exm"),
+        ],
+        match_threshold=0.42,
+    )
+    res = run_pipeline(t, cfg, gold_pairs=gold)
+    m = res["metrics"]["match_prf"]
+    b = res["metrics"]["blocking_prf"]
+    n_clusters = res["clusters"].to_pandas()["entity_id"].nunique()
+    return pd.DataFrame(
+        [
+            {
+                "match_tp": m["tp"], "match_fp": m["fp"], "match_fn": m["fn"],
+                "match_f1": round(m["f1"], 6),
+                "blocking_recall": round(b["recall"], 6),
+                "n_clusters": int(n_clusters),
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# testdata-table queries (documents / embeddings / events views)
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    from ..stages.dedup import dedup_exact
+
+    return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprint_md5
+
+    return fingerprint_md5(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_dedup_token_jac_docs(sf_dir: str):
+    """Exact near-dup pairs: alphanumeric-token jaccard >= 0.5 over all docs
+    (the oracle twin of the MinHash-LSH scale path)."""
+    # zero-pad ids so lexicographic pair canonicalization == numeric order
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"conv_id": df["doc_id"].astype(str).str.zfill(12), "doc": df["text"]}
+        ),
+        batch_format="pandas",
+    )
+    toks = B.tokenize_docs(docs, "doc", "alphanumeric").materialize()
+    pairs = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=_cfg())
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"id1": df["id1"].astype(np.int64), "id2": df["id2"].astype(np.int64), "sim": df["sim"]}
+        ).sort_values(["id1", "id2"]) if len(df) else
+        pd.DataFrame({"id1": pd.Series(dtype=np.int64), "id2": pd.Series(dtype=np.int64),
+                      "sim": pd.Series(dtype=float)}),
+        batch_format="pandas",
+    )
+
+
+SQL_DEDUP_TOKEN_JAC = """WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS tok
+  FROM documents),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS l FROM toks GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS o
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i.id1, i.id2, i.o * 1.0 / (sa.l + sb.l - i.o) AS sim
+FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id JOIN sizes sb ON i.id2 = sb.doc_id
+WHERE i.o * 1.0 / (sa.l + sb.l - i.o) >= 0.5"""
+
+
+def q_minhash_lsh_docs(sf_dir: str):
+    """MinHash-LSH near-dup candidates, exact-verified (rows-only check:
+    LSH recall < 1 by construction, so no exact SQL twin)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    return out.map_batches(
+        lambda df: df.astype({"id1": np.int64, "id2": np.int64}) if len(df) else df,
+        batch_format="pandas",
+    )
+
+
+def q_simhash_docs(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8)
+
+
+def q_ann_topk(sf_dir: str):
+    from ..stages.ann import ann_topk_bruteforce
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [r["vec_id"] for r in emb.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()]
+    return ann_topk_bruteforce(emb, np.array(qids), k=10)
+
+
+SQL_ANN_TOPK = """WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5),
+s AS (SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM s) WHERE rank <= 10"""
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate variant (rows-only: recall<1 is the semantics)."""
+    from ..stages.ann import ann_topk_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [r["vec_id"] for r in emb.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()]
+    return ann_topk_ivf(emb, np.array(qids), k=10)
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.4, mode="bruteforce")
+    return out.select_columns(["id1", "id2"])
+
+
+SQL_EMBED_DUP = """SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+
+def q_text_stats(sf_dir: str):
+    from ..stages.text import text_stats
+
+    return text_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_STATS = """SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> ''))::BIGINT AS n_words,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit
+FROM documents"""
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_LANG_ID = """WITH s AS (
+  SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+c AS (SELECT doc_id, t,
+  len(regexp_extract_all(t, ' der | und | die | ist ')) AS de,
+  len(regexp_extract_all(t, ' el | los | es | una ')) AS es,
+  len(regexp_extract_all(t, ' le | la | et | est ')) AS fr
+  FROM s)
+SELECT doc_id, CASE
+  WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+  WHEN de = 0 AND es = 0 AND fr = 0 THEN 'en'
+  WHEN de >= es AND de >= fr THEN 'de'
+  WHEN es >= fr THEN 'es'
+  ELSE 'fr' END AS pred_lang
+FROM c"""
+
+
+def q_events_window(sf_dir: str):
+    """Per-user hourly windowed aggregate with in-batch pre-aggregation
+    (combiner) before the groupby shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000) * 3600
+        v100 = df["value"].to_numpy(np.float64) * 100.0
+        cents = np.where(v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5)).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "win_start": win, "c": cents})
+        out = g.groupby(["user_id", "win_start"], sort=False).agg(
+            n_events=("c", "size"), sum_cents=("c", "sum")
+        ).reset_index()
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "win_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+SQL_EVENTS_WINDOW = """SELECT user_id,
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+  count(*)::BIGINT AS n_events,
+  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing (rows-only): deterministic fake decode over a
+    synthesized binary media table; real decode is stubbed (no PIL here)."""
+    from ..stages.multimodal import decode_media, synthesize_media
+
+    media = ray.data.from_arrow(synthesize_media(200))
+    out = decode_media(media, fake=True)
+    return out.map_batches(
+        lambda t: pa.table({"media_id": t.column("media_id"),
+                            "payload_bytes": t.column("payload_bytes")}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "canonicalize": q_canonicalize,
+    "token_df": q_token_df,
+    "block_jac": q_block_jac,
+    "block_overlap": q_block_overlap,
+    "block_exm_head": q_block_exm_head,
+    "block_anm_turns": q_block_anm_turns,
+    "block_lev_head": q_block_lev_head,
+    "block_rules_union": q_block_rules_union,
+    "topk_blended": q_topk_blended,
+    "cluster_jac": q_cluster_jac,
+    "megallen_wide": q_megallen_wide,
+    "er_f1_report": q_er_f1_report,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_token_jac_docs": q_dedup_token_jac_docs,
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "simhash_docs": q_simhash_docs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "events_window": q_events_window,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "canonicalize": SQL_CANONICALIZE,
+    "token_df": SQL_TOKEN_DF,
+    "block_jac": SQL_BLOCK_JAC,
+    "block_overlap": SQL_BLOCK_OVERLAP,
+    "block_exm_head": SQL_BLOCK_EXM_HEAD,
+    "block_anm_turns": SQL_BLOCK_ANM,
+    "block_lev_head": SQL_BLOCK_LEV,
+    "block_rules_union": SQL_BLOCK_RULES_UNION,
+    "topk_blended": SQL_TOPK_BLENDED,
+    "cluster_jac": SQL_CLUSTER_JAC,
+    "megallen_wide": SQL_MEGALLEN_WIDE,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_token_jac_docs": SQL_DEDUP_TOKEN_JAC,
+    "ann_topk": SQL_ANN_TOPK,
+    "embed_dup_pairs": SQL_EMBED_DUP,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "events_window": SQL_EVENTS_WINDOW,
+    # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
+    # ann_topk_ivf, multimodal_decode
+}

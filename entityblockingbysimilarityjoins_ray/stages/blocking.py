@@ -44,6 +44,7 @@ from ray.data.aggregate import Sum
 from ..config import PipelineConfig
 from ..functions.hashing import (
     bipartite_pairs,
+    get_broadcast,
     bucket_of,
     group_sizes_from_sorted,
     hash_strings,
@@ -162,28 +163,34 @@ def length_ratio(sim: str, threshold: float) -> float | None:
 # ---------------------------------------------------------------------------
 
 
-class SignatureEmitter:
+def _emit_signatures(
+    batch: pa.Table,
+    *,
+    df_ref,
+    sim: str,
+    threshold: float,
+    pair_partitions: int,
+    salt_df_threshold: int,
+    salt_factor: int,
+) -> pa.Table:
     """Emit (tok, cell, side, id, tlen) prefix-signature rows per record.
 
-    State (the df table) is fetched from the object store ONCE per actor."""
+    Runs as a STATELESS task: the broadcast df table is fetched from the
+    object store once per worker process (zero-copy plasma read) via
+    get_broadcast — no actor pool, so no min-actor CPU reservation that
+    could starve the streaming executor when several rules execute in one
+    unioned plan."""
+    class _S:  # keep the original attribute names for the body below
+        pass
 
-    def __init__(
-        self,
-        df_ref,
-        sim: str,
-        threshold: float,
-        pair_partitions: int,
-        salt_df_threshold: int,
-        salt_factor: int,
-    ):
-        self.df_toks, self.df_vals = ray.get(df_ref)
-        self.sim = sim
-        self.threshold = threshold
-        self.P = pair_partitions
-        self.salt_df = salt_df_threshold
-        self.s = salt_factor
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    self = _S()
+    self.df_toks, self.df_vals = get_broadcast(df_ref)
+    self.sim = sim
+    self.threshold = threshold
+    self.P = pair_partitions
+    self.salt_df = salt_df_threshold
+    self.s = salt_factor
+    if True:
         ids = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
         col = batch.column("toks")
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -322,6 +329,14 @@ def _pairgen_bucket(
     swap = a_ids > b_ids
     id1 = np.where(swap, b_ids, a_ids)
     id2 = np.where(swap, a_ids, b_ids)
+    # local dedup before the pair shuffle: the same pair surfaces once per
+    # shared signature token; exact verify recomputes overlap from full sets,
+    # so multiplicity carries no information — dropping it here cuts the
+    # dedup-shuffle volume by the average signature overlap factor
+    if id1.size:
+        pairkey = pd.MultiIndex.from_arrays([id1, id2])
+        keep_first = ~pairkey.duplicated()
+        id1, id2 = id1[keep_first], id2[keep_first]
     return pa.table({"id1": pa.array(id1, pa.string()), "id2": pa.array(id2, pa.string())})
 
 
@@ -398,12 +413,13 @@ def setsim_self_join(
         df_table = build_df_table(toks_ds)
     df_ref = ray.put(df_table)
     sigs = toks_ds.map_batches(
-        SignatureEmitter,
-        fn_constructor_args=(
-            df_ref, sim, threshold, cfg.pair_partitions, cfg.salt_df_threshold, cfg.salt_factor,
+        _emit_signatures,
+        fn_kwargs=dict(
+            df_ref=df_ref, sim=sim, threshold=threshold,
+            pair_partitions=cfg.pair_partitions,
+            salt_df_threshold=cfg.salt_df_threshold, salt_factor=cfg.salt_factor,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     candidates = sigs.groupby("pb").map_groups(
         _pairgen_bucket,

@@ -27,6 +27,7 @@ import logging
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
 from ..functions.hashing import bucket_of, hash_strings
@@ -218,17 +219,16 @@ def cluster_entities(
         labels = labels_ds.to_pandas() if labels_ds is not None else pd.DataFrame(
             {"conv_id": pd.Series(dtype=str), "entity_id": pd.Series(dtype=str)}
         )
+    from ..functions.hashing import get_broadcast
+
     lmap = pd.Series(labels["entity_id"].to_numpy(object), index=pd.Index(labels["conv_id"]))
     ref = ray.put(lmap)
 
-    class Assign:
-        def __init__(self):
-            self.lmap = ray.get(ref)
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = get_broadcast(ref)
+        ids = df["conv_id"].astype(str)
+        ent = m.reindex(ids).to_numpy(object)
+        ent = np.where(pd.isna(ent), ids.to_numpy(object), ent)
+        return pd.DataFrame({"conv_id": ids, "entity_id": ent})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["conv_id"].astype(str)
-            ent = self.lmap.reindex(ids).to_numpy(object)
-            ent = np.where(pd.isna(ent), ids.to_numpy(object), ent)
-            return pd.DataFrame({"conv_id": ids, "entity_id": ent})
-
-    return all_ids.map_batches(Assign, batch_format="pandas", concurrency=(1, 4))
+    return all_ids.map_batches(assign, batch_format="pandas")

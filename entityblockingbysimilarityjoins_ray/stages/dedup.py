@@ -1,0 +1,397 @@
+"""Document deduplication operators (training-data-pipeline extensions).
+
+Beyond the reference's record-level joins, a 100 TB corpus pipeline needs
+document dedup primitives.  All are expressed Ray-Data-first:
+
+- exact dedup: content hash -> hash-bucket groupby -> keep min id
+- MinHash + LSH near-dup: per-batch vectorized shingle->minhash, band
+  signatures exploded to (band, band_hash) keys -> groupby -> candidate
+  pairs -> exact-Jaccard verify (so the *output* is exact among candidates)
+- SimHash near-dup: 64-bit simhash, banded into 4x16-bit keys (Hamming<=3
+  within <=4 bands by pigeonhole) -> candidates -> exact Hamming verify
+- embedding cosine near-dup: normalized vectors, coarse LSH (random
+  hyperplane) buckets -> candidates -> exact cosine verify; plus a
+  brute-force variant for oracle checks
+
+The LSH outputs are recall<1 by construction (documented; candidates only),
+the verify step makes precision exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import (
+    bucket_of,
+    get_broadcast,
+    group_sizes_from_sorted,
+    hash_strings,
+    within_group_pairs,
+)
+from ..functions.tokenize import tokenize_array
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Keep the min-id row per distinct text value: hash-partition on a
+    content hash, vectorized first-per-group inside each bucket."""
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["pb"] = bucket_of(hash_strings(df[text_col].fillna("").to_numpy(object)), num_partitions)
+        return df
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(id_col, kind="stable").drop_duplicates(text_col, keep="first")
+        return out.drop(columns=["pb"])
+
+    return (
+        docs.map_batches(add_h, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_batch(tok_hashes: np.ndarray, offsets: np.ndarray, perm_a, perm_b) -> np.ndarray:
+    """(n_rows, n_perm) minhash signatures from flattened token hashes,
+    vectorized: one (tokens x perms) universal-hash pass + per-row segment
+    minima via np.minimum.reduceat."""
+    n = offsets.size - 1
+    k = perm_a.size
+    if tok_hashes.size == 0:
+        return np.full((n, k), np.iinfo(np.uint64).max, dtype=_U64)
+    t = tok_hashes.view(_U64)[:, None]
+    hv = t * perm_a[None, :] + perm_b[None, :]  # mod 2^64 universal-ish hash
+    sig = np.full((n, k), np.iinfo(np.uint64).max, dtype=_U64)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    mins = np.minimum.reduceat(hv, offsets[:-1][nz], axis=0)
+    sig[nz] = mins
+    return sig
+
+
+_PERM_CACHE: dict = {}
+
+
+def _perms(n_perm: int, seed: int):
+    key = (n_perm, seed)
+    if key not in _PERM_CACHE:
+        rng = np.random.default_rng(seed)
+        _PERM_CACHE[key] = (
+            rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) * _U64(2) + _U64(1),
+            rng.integers(0, 2**63, size=n_perm, dtype=np.uint64),
+        )
+    return _PERM_CACHE[key]
+
+
+def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
+                   num_partitions, seed=42) -> pa.Table:
+    """Stateless minhash-band task (seeded permutations cached per worker)."""
+    class _S:
+        pass
+
+    self = _S()
+    self.perm_a, self.perm_b = _perms(n_perm, seed)
+    self.id_col, self.text_col = id_col, text_col
+    self.tok, self.q = tok, q
+    self.n_bands = n_bands
+    self.rows_per_band = n_perm // n_bands
+    self.P = num_partitions
+    if True:
+        ids = np.asarray(t.column(self.id_col).to_numpy(zero_copy_only=False))
+        vals, offs = tokenize_array(t.column(self.text_col), self.tok, self.q)
+        sig = _minhash_batch(vals, offs, self.perm_a, self.perm_b)
+        n = ids.size
+        r = self.rows_per_band
+        bh = np.empty((n, self.n_bands), dtype=np.int64)
+        for b in range(self.n_bands):
+            seg = sig[:, b * r : (b + 1) * r]
+            h = np.full(n, 0xCBF29CE484222325, dtype=_U64)
+            for j in range(r):
+                h = (h ^ seg[:, j]) * _U64(0x100000001B3)
+            bh[:, b] = h.view(np.int64)
+        band_id = np.tile(np.arange(self.n_bands), n)
+        band_hash = bh.reshape(-1)
+        ids_r = np.repeat(ids, self.n_bands)
+        key = band_hash ^ (band_id * 0x9E3779B9)
+        return pa.table(
+            {
+                "pb": pa.array(bucket_of(key, self.P), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "id": pa.array(ids_r),
+            }
+        )
+
+
+def _candidate_pairs_from_keys(df: pd.DataFrame, max_bucket: int = 2000) -> pd.DataFrame:
+    key = df["key"].to_numpy(np.int64)
+    ids = df["id"].to_numpy()
+    order = np.argsort(key, kind="stable")
+    key, ids = key[order], ids[order]
+    starts, sizes = group_sizes_from_sorted(key)
+    sizes_c = np.minimum(sizes, max_bucket)
+    ii, jj = within_group_pairs(sizes_c)
+    if ii.size:
+        rel = np.concatenate(([0], np.cumsum(sizes_c)[:-1]))
+        npg = sizes_c * (sizes_c - 1) // 2
+        grp = np.repeat(np.arange(sizes_c.size), npg)
+        shift = starts[grp] - rel[grp]
+        ii, jj = ii + shift, jj + shift
+    a, b = ids[ii], ids[jj]
+    swap = a > b
+    return pd.DataFrame({"id1": np.where(swap, b, a), "id2": np.where(swap, a, b)}).drop_duplicates()
+
+
+def _jaccard_verify(df: pd.DataFrame, *, toks_ref, threshold) -> pd.DataFrame:
+    """Exact token-set Jaccard on candidate doc pairs (broadcast token sets,
+    stateless task with per-worker cache)."""
+    class _S:
+        pass
+
+    self = _S()
+    self.index, self.vals, self.offs = get_broadcast(toks_ref)
+    self.threshold = threshold
+    if True:
+        from ..functions import sims as S
+        from .verify import gather_lists
+
+        if not len(df):
+            return pd.DataFrame({"id1": df.get("id1", pd.Series(dtype=object)),
+                                 "id2": df.get("id2", pd.Series(dtype=object)),
+                                 "sim": pd.Series(dtype=float)})
+        r1 = self.index.get_indexer(df["id1"])
+        r2 = self.index.get_indexer(df["id2"])
+        va, oa = gather_lists(self.vals, self.offs, r1)
+        vb, ob = gather_lists(self.vals, self.offs, r2)
+        ov = S.pair_overlap(va, oa, vb, ob)
+        sim = S.set_sims_from_overlap(ov, np.diff(oa), np.diff(ob), "jac")
+        keep = sim >= self.threshold
+        return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
+
+
+def minhash_lsh_dedup(
+    docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", tok="alphanumeric",
+    q=3, threshold=0.5, n_perm=128, n_bands=32, num_partitions=32,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard verify.
+
+    Output pairs all satisfy jac >= threshold (precision exact); recall is
+    the LSH band probability (documented, not silent)."""
+    sigs = docs.map_batches(
+        _minhash_bands,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, tok=tok, q=q,
+                       n_perm=n_perm, n_bands=n_bands, num_partitions=num_partitions),
+        batch_format="pyarrow",
+    )
+    cands = (
+        sigs.groupby("pb")
+        .map_groups(lambda g: _candidate_pairs_from_keys(g.drop(columns=["pb"])), batch_format="pandas")
+    )
+    from .blocking import dedupe_pairs
+
+    cands = dedupe_pairs(cands, num_partitions)
+    # broadcast token index for exact verification
+    from .verify import collect_arrow
+
+    tbl = collect_arrow(docs.select_columns([id_col, text_col]))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    vals, offs = tokenize_array(tbl.column(text_col), tok, q)
+    ref = ray.put((pd.Index(ids), vals, offs))
+    return cands.map_batches(
+        _jaccard_verify, fn_kwargs=dict(toks_ref=ref, threshold=threshold),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(t: pa.Table, id_col: str, text_col: str, tok="alphanumeric", q=3) -> pa.Table:
+    """64-bit simhash per doc: sign-sum of token-hash bit vectors."""
+    ids = t.column(id_col)
+    vals, offs = tokenize_array(t.column(text_col), tok, q)
+    n = offs.size - 1
+    sig = np.zeros(n, dtype=_U64)
+    if vals.size:
+        bits = ((vals.view(_U64)[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)).astype(np.int32)
+        contrib = bits * 2 - 1  # -1 / +1
+        rows = np.repeat(np.arange(n), np.diff(offs))
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, rows, contrib)
+        sig = ((acc > 0).astype(_U64) << np.arange(64, dtype=_U64)[None, :]).sum(axis=1, dtype=_U64)
+    return pa.table({id_col: ids, "simhash": pa.array(sig.view(np.int64), pa.int64())})
+
+
+def simhash_dedup(
+    docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", max_hamming=3,
+    num_partitions=32, tok="alphanumeric", q=3,
+) -> "ray.data.Dataset":
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
+    pigeonhole LSH + exact Hamming verify."""
+    sigs = docs.map_batches(
+        lambda t: simhash_signatures(t, id_col, text_col, tok, q), batch_format="pyarrow"
+    )
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        sh = np.asarray(t.column("simhash"), dtype=np.int64).view(_U64)
+        rows = []
+        for b in range(4):
+            piece = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+            key = piece | (b << 17)
+            rows.append((key, ids, sh.view(np.int64)))
+        key = np.concatenate([r[0] for r in rows])
+        idv = np.concatenate([r[1] for r in rows])
+        shv = np.concatenate([r[2] for r in rows])
+        return pa.table(
+            {"pb": pa.array(bucket_of(key, num_partitions), pa.int32()),
+             "key": pa.array(key, pa.int64()), "id": pa.array(idv),
+             "sh": pa.array(shv, pa.int64())}
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cand = _candidate_pairs_from_keys(df[["key", "id"]])
+        if not len(cand):
+            cand["hamming"] = pd.Series(dtype=np.int64)
+            return cand
+        shmap = df.drop_duplicates("id").set_index("id")["sh"]
+        a = shmap.reindex(cand["id1"]).to_numpy(np.int64).view(_U64)
+        b = shmap.reindex(cand["id2"]).to_numpy(np.int64).view(_U64)
+        x = a ^ b
+        ham = np.zeros(x.size, np.int64)
+        for _ in range(64):
+            ham += (x & _U64(1)).astype(np.int64)
+            x >>= _U64(1)
+        keep = ham <= max_hamming
+        out = cand[keep].copy()
+        out["hamming"] = ham[keep]
+        return out
+
+    cands = sigs.map_batches(bands, batch_format="pyarrow").groupby("pb").map_groups(
+        lambda g: pairs(g.drop(columns=["pb"])), batch_format="pandas"
+    )
+    from .blocking import dedupe_pairs
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id1", "id2"])
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = hash_strings((df["id1"].astype(str) + "|" + df["id2"].astype(str)).to_numpy(object))
+        df["pb"] = bucket_of(h, num_partitions)
+        return df
+
+    return (
+        cands.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(lambda g: dd(g.drop(columns=["pb"])), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: "ray.data.Dataset", *, id_col="vec_id", vec_col="embedding",
+    threshold=0.95, mode="bruteforce", num_partitions=32, n_planes=16, seed=42,
+) -> "ray.data.Dataset":
+    """Pairs with cosine >= threshold.
+
+    mode='bruteforce': exact — broadcast the (normalized f64) matrix, one
+      numpy matmul per batch row-block against the full matrix (the oracle
+      path; O(n^2) flops but C-speed, fine to ~100k vectors).
+    mode='lsh': random-hyperplane buckets -> candidates -> exact verify
+      (the >>100k scale path; recall < 1, documented)."""
+    from .verify import collect_arrow
+
+    tbl = collect_arrow(emb.select_columns([id_col, vec_col]))
+    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+    col = tbl.column(vec_col)
+    col = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+    M = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = M / np.maximum(norms, 1e-30)
+    ref = ray.put((ids, Mn))
+
+    if mode == "bruteforce":
+        order = np.argsort(ids)
+
+        def block_fn(t: pa.Table) -> pa.Table:
+            class _S:
+                pass
+
+            self = _S()
+            self.ids, self.Mn = get_broadcast(ref)
+            if True:
+                rid = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+                pos = np.searchsorted(self.ids[order], rid)
+                rows = order[pos]
+                sims = self.Mn[rows] @ self.Mn.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a = rid[ii]
+                b = self.ids[jj]
+                keep = a < b
+                return pa.table(
+                    {"id1": pa.array(a[keep]), "id2": pa.array(b[keep]),
+                     "sim": pa.array(sims[ii, jj][keep], pa.float64())}
+                )
+
+        return emb.select_columns([id_col]).map_batches(
+            block_fn, batch_format="pyarrow", batch_size=1024
+        )
+
+    # LSH mode
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(Mn.shape[1], n_planes))
+    signs = (Mn @ planes) > 0
+    key = np.zeros(len(ids), np.int64)
+    for b in range(n_planes):
+        key |= signs[:, b].astype(np.int64) << b
+    sig_df = pd.DataFrame({"key": key, "id": ids})
+    sig_df["pb"] = bucket_of(sig_df["key"].to_numpy(np.int64), num_partitions)
+    sigs = ray.data.from_pandas(sig_df)
+    cands = sigs.groupby("pb").map_groups(
+        lambda g: _candidate_pairs_from_keys(g.drop(columns=["pb"])), batch_format="pandas"
+    )
+
+    def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
+        class _S:
+            pass
+
+        self = _S()
+        self.ids, self.Mn = get_broadcast(ref)
+        self.pos = pd.Index(self.ids)
+        if True:
+            if not len(df):
+                return pd.DataFrame({"id1": pd.Series(dtype=ids.dtype),
+                                     "id2": pd.Series(dtype=ids.dtype),
+                                     "sim": pd.Series(dtype=float)})
+            r1 = self.pos.get_indexer(df["id1"])
+            r2 = self.pos.get_indexer(df["id2"])
+            sim = np.einsum("ij,ij->i", self.Mn[r1], self.Mn[r2])
+            keep = sim >= threshold
+            return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
+
+    return cands.map_batches(verify_fn, batch_format="pandas")

@@ -158,16 +158,18 @@ def _edit_pairgen(df: pd.DataFrame, D: int) -> pd.DataFrame:
     return pd.DataFrame({"id1": np.where(swap, b, a), "id2": np.where(swap, a, b)})
 
 
-class EditVerifier:
-    """Exact Levenshtein <= D on the candidate pairs (values broadcast)."""
+def _edit_verify(batch: pd.DataFrame, *, val_ref, D: int) -> pd.DataFrame:
+    """Exact Levenshtein <= D on the candidate pairs (values broadcast,
+    stateless task with per-worker cache)."""
+    from ..functions.hashing import get_broadcast
 
-    def __init__(self, val_ref, D: int):
-        import ray
+    class _S:
+        pass
 
-        self.vmap = ray.get(val_ref)  # pd.Series id -> value
-        self.D = D
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    self = _S()
+    self.vmap = get_broadcast(val_ref)  # pd.Series id -> value
+    self.D = D
+    if True:
         if not len(batch):
             return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str), "sim": pd.Series(dtype=float)})
         a = self.vmap.reindex(batch["id1"]).to_numpy(object)
@@ -190,8 +192,8 @@ def edit_self_join(
         batch_format="pandas",
     )
     sigs = proj.map_batches(
-        EditSignatureEmitter, fn_constructor_args=(D, cfg.pair_partitions),
-        batch_format="pandas", concurrency=(1, 8),
+        EditSignatureEmitter(D, cfg.pair_partitions),
+        batch_format="pandas",
     )
     candidates = sigs.groupby("pb").map_groups(
         _edit_pairgen, fn_kwargs={"D": D}, batch_format="pandas"
@@ -201,6 +203,6 @@ def edit_self_join(
     vmap = pd.Series(vals["val"].to_numpy(object), index=pd.Index(vals["conv_id"]))
     ref = ray.put(vmap)
     return candidates.map_batches(
-        EditVerifier, fn_constructor_args=(ref, D), batch_format="pandas",
-        batch_size=32768, concurrency=(1, 8),
+        _edit_verify, fn_kwargs=dict(val_ref=ref, D=D), batch_format="pandas",
+        batch_size=32768,
     )

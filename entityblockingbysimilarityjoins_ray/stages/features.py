@@ -27,6 +27,7 @@ import ray
 import ray.data
 
 from ..functions import sims as S
+from ..functions.hashing import get_broadcast
 from ..functions.tokenize import tokenize_array
 from .verify import gather_lists
 
@@ -74,18 +75,19 @@ def _build_state(docs_pdf: pd.DataFrame, specs) -> dict:
     return state
 
 
-class FeatureExtractor:
-    """Actor: broadcast doc state in __init__, vectorized kernels per batch.
+def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
+    """Stateless feature task: doc state fetched once per worker process.
 
     Reference analogue: extractFeatures4Matching per chunk table
     (/root/reference/cpp/feature/feature.cc:242-334), minus the
     interchangeable-group max-over-members path (v2)."""
+    class _S:
+        pass
 
-    def __init__(self, state_ref, specs):
-        self.state = ray.get(state_ref)
-        self.specs = list(specs)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    self = _S()
+    self.state = get_broadcast(state_ref)
+    self.specs = list(specs)
+    if True:
         if batch.num_rows == 0:
             cols = {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())}
             for s in self.specs:
@@ -142,9 +144,8 @@ def extract_features(
     docs_pdf = docs.select_columns(cols).to_pandas()
     ref = ray.put(_build_state(docs_pdf, specs))
     return pairs.map_batches(
-        FeatureExtractor,
-        fn_constructor_args=(ref, list(specs)),
+        _extract_batch,
+        fn_kwargs=dict(state_ref=ref, specs=list(specs)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

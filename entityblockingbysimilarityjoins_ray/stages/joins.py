@@ -1,0 +1,108 @@
+"""Hash-partitioned equi-join built on the bucket-groupby pattern.
+
+``Dataset.join`` in Ray 2.49.2 loses the schema of empty Arrow blocks (the
+acero probe then fails with "No match ... for key field reference") and its
+aggregator actor pool can starve small clusters, so the engine ships its own
+join: both sides are normalized to ONE shared Arrow schema (missing columns
+as typed nulls) + a bucket column, unioned, hash-bucket grouped, and merged
+per bucket with a vectorized pandas hash join.  One shuffle, no actor pool,
+robust to empty blocks.
+
+This is also the portable pattern the Ray guide recommends for
+both-sides-large joins; the broadcast path (ray.put + lookup per batch)
+remains the small-side fast path used by verify_pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import bucket_of
+
+_SIDE = "__side"
+_PB = "__pb"
+
+
+def _hash_any(arr: np.ndarray) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.dtype == object or a.dtype.kind in "USm":
+        return pd.util.hash_array(a.astype(object), categorize=False).view(np.int64)
+    return pd.util.hash_array(a, categorize=False).view(np.int64)
+
+
+def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    # pandas-block dataset: types are numpy dtypes; peek one real Arrow batch
+    for b in ds.iter_batches(batch_size=1, batch_format="pyarrow"):
+        return b.schema
+    return pa.schema([pa.field(n, pa.from_numpy_dtype(t) if t != object else pa.string())
+                      for n, t in zip(sch.names, sch.types)])
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    right_on: str,
+    num_partitions: int = 32,
+    how: str = "inner",
+    drop_right_key: bool = True,
+) -> "ray.data.Dataset":
+    """Equi-join; column sets of the two sides must be disjoint except keys."""
+    lsch = _pa_schema(left)
+    rsch = _pa_schema(right)
+    lnames = list(lsch.names)
+    rnames = list(rsch.names)
+    overlap = (set(lnames) & set(rnames)) - ({on} if on == right_on else set())
+    if overlap:
+        raise ValueError(f"hash_join requires disjoint columns, overlap: {overlap}")
+    all_fields = [lsch.field(n) for n in lnames]
+    all_fields += [rsch.field(n) for n in rnames if n not in lnames]
+
+    def norm(side: int, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for fld in all_fields:
+                if fld.name in t.column_names:
+                    c = t.column(fld.name)
+                    cols[fld.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                else:
+                    cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+            keyvals = t.column(key).to_numpy(zero_copy_only=False)
+            pb = bucket_of(_hash_any(keyvals), num_partitions) if t.num_rows else np.empty(0, np.int64)
+            cols[_PB] = pa.array(pb.astype(np.int32), pa.int32())
+            cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    l = left.map_batches(norm(0, on), batch_format="pyarrow")
+    r = right.map_batches(norm(1, right_on), batch_format="pyarrow")
+
+    extra_r = [n for n in rnames if n not in lnames]
+    if drop_right_key and right_on != on:
+        extra_r = [n for n in extra_r if n != right_on]
+    out_names = lnames + extra_r
+    field_of = {f.name: f for f in all_fields}
+    out_schema = pa.schema([field_of[n] for n in out_names])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        lp = df[df[_SIDE] == 0][lnames]
+        rp = df[df[_SIDE] == 1][rnames]
+        m = lp.merge(rp, left_on=on, right_on=right_on, how=how)
+        # explicit Arrow schema so chained joins / downstream arrow kernels
+        # see typed blocks even when a partition is empty
+        cols = [pa.Array.from_pandas(m[n], type=field_of[n].type) for n in out_names]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return (
+        l.union(r)
+        .groupby(_PB)
+        .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
+    )

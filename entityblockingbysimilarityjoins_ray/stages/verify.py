@@ -19,6 +19,23 @@ import ray
 import ray.data
 
 from ..functions import sims as S
+from ..functions.hashing import get_broadcast
+
+
+def collect_arrow(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a (small) Dataset as one Arrow table on the driver.
+
+    ``to_arrow_refs`` hands back raw block refs — pandas blocks arrive as
+    DataFrames, not Arrow — so normalize every block type here."""
+    tables = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pa.Table):
+            tables.append(t)
+        elif isinstance(t, pd.DataFrame):
+            tables.append(pa.Table.from_pandas(t, preserve_index=False))
+        else:
+            tables.append(pa.Table.from_batches([t]))
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
 
 
 def collect_token_index(toks_ds: "ray.data.Dataset"):
@@ -27,10 +44,7 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     Only valid when the record table fits the driver/object store
     (cfg.broadcast_limit); the join path below is the unbounded-scale path.
     """
-    tbl = pa.concat_tables(
-        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in
-         ray.get(toks_ds.select_columns(["conv_id", "toks"]).to_arrow_refs())]
-    )
+    tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
     ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
     vals, offs = S.flatten_lists(tbl.column("toks"))
     index = pd.Index(ids)
@@ -59,32 +73,27 @@ def _sim_batch(va, oa, vb, ob, sim: str) -> np.ndarray:
     return S.set_sims_from_overlap(ovlp, la, lb, sim)
 
 
-class BroadcastVerifier:
-    """Actor-pool pair verifier: token index loaded ONCE per actor."""
-
-    def __init__(self, toks_ref, sim: str, threshold: float):
-        self.index, self.vals, self.offs = ray.get(toks_ref)
-        self.sim = sim
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-        ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
-        r1 = self.index.get_indexer(ids1)
-        r2 = self.index.get_indexer(ids2)
-        ok = (r1 >= 0) & (r2 >= 0)
-        ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
-        va, oa = gather_lists(self.vals, self.offs, r1)
-        vb, ob = gather_lists(self.vals, self.offs, r2)
-        s = _sim_batch(va, oa, vb, ob, self.sim)
-        keep = s >= self.threshold
-        return pa.table(
-            {
-                "id1": pa.array(ids1[keep], type=pa.string()),
-                "id2": pa.array(ids2[keep], type=pa.string()),
-                "sim": pa.array(s[keep], type=pa.float64()),
-            }
-        )
+def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
+    """Stateless verify task: token index fetched once per worker process
+    (get_broadcast; zero-copy plasma) — no actor-pool CPU reservation."""
+    index, vals, offs = get_broadcast(toks_ref)
+    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    r1 = index.get_indexer(ids1)
+    r2 = index.get_indexer(ids2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
+    va, oa = gather_lists(vals, offs, r1)
+    vb, ob = gather_lists(vals, offs, r2)
+    s = _sim_batch(va, oa, vb, ob, sim)
+    keep = s >= threshold
+    return pa.table(
+        {
+            "id1": pa.array(ids1[keep], type=pa.string()),
+            "id2": pa.array(ids2[keep], type=pa.string()),
+            "sim": pa.array(s[keep], type=pa.float64()),
+        }
+    )
 
 
 def _verify_joined(batch: pa.Table, sim: str, threshold: float) -> pa.Table:
@@ -120,17 +129,22 @@ def verify_pairs(
     if broadcast:
         ref = ray.put(collect_token_index(toks_ds))
         return pairs_ds.map_batches(
-            BroadcastVerifier,
-            fn_constructor_args=(ref, sim, threshold),
+            broadcast_verify_batch,
+            fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
             batch_format="pyarrow",
             batch_size=32768,
-            concurrency=concurrency or (1, 8),
         )
+    from .joins import hash_join
+
     t1 = _rename(toks_ds, {"conv_id": "cid1", "toks": "toks1"})
     t2 = _rename(toks_ds, {"conv_id": "cid2", "toks": "toks2"})
-    joined = pairs_ds.join(
-        t1, join_type="inner", num_partitions=num_partitions, on=("id1",), right_on=("cid1",)
-    ).join(t2, join_type="inner", num_partitions=num_partitions, on=("id2",), right_on=("cid2",))
+    joined = hash_join(
+        pairs_ds.select_columns(["id1", "id2"]), t1,
+        on="id1", right_on="cid1", num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        joined, t2, on="id2", right_on="cid2", num_partitions=num_partitions
+    )
     return joined.map_batches(
         _verify_joined, fn_kwargs={"sim": sim, "threshold": threshold}, batch_format="pyarrow"
     )

@@ -1,0 +1,70 @@
+"""hash_join (engine-owned shuffle join) — correctness incl. the empty-Arrow-
+block pattern that breaks Ray 2.49's native Dataset.join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.stages.joins import hash_join
+
+
+def test_basic_inner_join(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"id": ["a", "b", "c"], "x": [1, 2, 3]}))
+    r = ray.data.from_pandas(pd.DataFrame({"rid": ["a", "c", "d"], "y": [10.0, 30.0, 40.0]}))
+    out = hash_join(l, r, on="id", right_on="rid", num_partitions=4).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == ["a", "c"]
+    assert list(out["x"]) == [1, 3]
+    assert list(out["y"]) == [10.0, 30.0]
+    assert "rid" not in out.columns
+
+
+def test_join_with_empty_arrow_blocks(ray_session):
+    empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
+    full = pa.table({"id1": ["a", "b"], "id2": ["x", "y"]})
+    l = ray.data.from_arrow([empty, full, empty])
+    r = ray.data.from_pandas(pd.DataFrame({"rid": ["x", "y"], "v": [1, 2]}))
+    out = hash_join(l, r, on="id2", right_on="rid", num_partitions=4).to_pandas()
+    assert sorted(out["id1"]) == ["a", "b"]
+
+
+def test_join_duplicate_keys_multiplies(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"k": ["a", "a", "b"], "x": [1, 2, 3]}))
+    r = ray.data.from_pandas(pd.DataFrame({"rk": ["a", "a"], "y": [10, 20]}))
+    out = hash_join(l, r, on="k", right_on="rk", num_partitions=2).to_pandas()
+    assert len(out) == 4  # 2x2 for key 'a'
+
+
+def test_join_same_key_name(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"], "x": [1, 2]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"], "y": [5, 6]}))
+    out = hash_join(l, r, on="k", right_on="k", num_partitions=2).to_pandas()
+    assert sorted(out.columns) == ["k", "x", "y"]
+    assert len(out) == 2
+
+
+def test_join_int_keys(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": ["a", "b", "c"]}))
+    r = ray.data.from_pandas(pd.DataFrame({"rk": [2, 3, 4], "y": [2.0, 3.0, 4.0]}))
+    out = hash_join(l, r, on="k", right_on="rk", num_partitions=4).to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+
+def test_verify_join_mode_equals_broadcast(tiny_docs):
+    """verify_pairs(broadcast=False) must produce the same verified pairs."""
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        setsim_self_join,
+        tokenize_docs,
+    )
+
+    docs, _ = tiny_docs
+    toks = tokenize_docs(docs, "doc", "dlm").materialize()
+    cfg = PipelineConfig(pair_partitions=8)
+    a = setsim_self_join(toks, sim="jac", threshold=0.6, cfg=cfg, broadcast=True)
+    b = setsim_self_join(toks, sim="jac", threshold=0.6, cfg=cfg, broadcast=False)
+    pa_ = a.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_[["id1", "id2", "sim"]], pb_[["id1", "id2", "sim"]])

@@ -1,0 +1,93 @@
+"""Mirror of the driver's correctness gate: run every queries() entry at
+sf0.01 and compare against its oracle_sql() twin via DuckDB (row count +
+schema + order-insensitive values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    importlib.reload(e)
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+ORACLE_NAMES = [
+    "canonicalize", "token_df", "block_jac", "block_overlap", "block_exm_head",
+    "block_anm_turns", "block_lev_head", "block_rules_union", "topk_blended",
+    "cluster_jac", "megallen_wide", "dedup_exact_docs", "doc_fingerprint",
+    "dedup_token_jac_docs", "ann_topk", "embed_dup_pairs", "text_stats",
+    "lang_id", "events_window",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(contract, con, name):
+    qs = contract.queries()
+    sql = contract.oracle_sql()
+    assert name in qs and name in sql
+    got = _norm(_to_pandas(qs[name](SF_DIR)))
+    exp = _norm(con.sql(sql[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+ROWS_ONLY = ["er_f1_report", "minhash_lsh_docs", "simhash_docs", "ann_topk_ivf",
+             "multimodal_decode"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(contract, name):
+    got = _to_pandas(contract.queries()[name](SF_DIR))
+    assert len(got) >= 0
+    if name == "er_f1_report":
+        assert got.iloc[0]["match_f1"] >= 0.99, got.to_dict("records")
+    if name == "minhash_lsh_docs":
+        assert set(got.columns) == {"id1", "id2", "sim"}
+    if name == "multimodal_decode":
+        assert len(got) == 200
+
+
+def test_entry_smoke(contract):
+    res = contract.entry()
+    df = _to_pandas(res)
+    assert len(df) > 0 and set(df.columns) == {"conv_id", "entity_id"}
