@@ -36,11 +36,11 @@ def entry() -> Any:
         num_buckets=16,
         pair_partitions=16,
         rules=[
-            BlockingRule("doc", "jac", "dlm", threshold=0.35),
-            BlockingRule("doc", "cos", "dlm", threshold=0.5),
+            BlockingRule("doc", "jac", "dlm", threshold=0.5),
+            BlockingRule("doc", "cos", "dlm", threshold=0.55),
             BlockingRule("head", "exm"),
         ],
-        match_threshold=0.42,
+        match_threshold=0.45,
     )
     res = run_pipeline(ray.data.read_parquet(info["transcripts"]), cfg)
     return res["clusters"]

@@ -59,11 +59,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         num_buckets=pair_parts,
         pair_partitions=pair_parts,
         rules=[
-            BlockingRule("doc", "jac", "dlm", threshold=0.35),
-            BlockingRule("doc", "cos", "dlm", threshold=0.5),
+            BlockingRule("doc", "jac", "dlm", threshold=0.5),
+            BlockingRule("doc", "cos", "dlm", threshold=0.55),
             BlockingRule("head", "exm"),
         ],
-        match_threshold=0.42,
+        match_threshold=0.45,
     )
 
     queries: dict[str, float] = {}

@@ -68,7 +68,13 @@ def generate(n_convs: int, seed: int = SEED):
         n_variants = int(rng.choice([1, 1, 1, 2, 2, 3, 4, 6]))
         n_variants = min(n_variants, n_convs - len(convs))
         n_turns = int(np.clip(rng.zipf(1.4), 1, 64))
-        sig = rng.choice(vocab[2000:], size=3, replace=False)  # rarer signature tokens
+        # per-entity rare signature tokens: a real corpus grows vocabulary
+        # (names, ids) with size, so the rarest tokens of near-duplicate
+        # records coincide while unrelated records' rare tokens diverge —
+        # the regime prefix-filter blocking exploits; a fixed shared vocab
+        # would make every token's df grow linearly with corpus size and
+        # degenerate blocking into an all-pairs join at scale
+        sig = np.array([f"e{entity_id:07d}x{k}" for k in range(3)], dtype=object)
         base_turns = []
         for t in range(n_turns):
             role = ("user", "assistant", "tool")[t % 3]
@@ -77,6 +83,11 @@ def generate(n_convs: int, seed: int = SEED):
             # skew: hot tokens in ~40% of turns
             if rng.random() < 0.4:
                 words.append(HOT_TOKENS[int(rng.integers(0, len(HOT_TOKENS)))])
+            # long-tail vocabulary: every real transcript turn carries
+            # specific identifiers (names, paths, ids) that near-duplicate
+            # variants share but unrelated conversations don't — these df<=6
+            # tokens are what prefix-filter blocking keys on in practice
+            words.extend(f"e{entity_id:07d}t{t}r{k}" for k in range(3))
             words.extend(sig)
             tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else ""
             base_turns.append((t, role, " ".join(words), tool))
@@ -85,10 +96,10 @@ def generate(n_convs: int, seed: int = SEED):
             if v == 0:
                 turns = list(base_turns)
             else:
-                p_swap = float(rng.choice([0.0, 0.05, 0.15]))
+                p_swap = float(rng.choice([0.0, 0.05, 0.12]))
                 turns = []
                 for (t, role, text, tool) in base_turns:
-                    if len(base_turns) > 1 and rng.random() < 0.10:
+                    if len(base_turns) > 1 and rng.random() < 0.08:
                         continue  # turn drop
                     ws = text.split(" ")
                     out = []

@@ -51,27 +51,61 @@ def flatten_lists(list_col) -> tuple[np.ndarray, np.ndarray]:
     return vals, offs
 
 
+def _compact_keys(va, ra, vb, rb):
+    """Relabel tokens to dense ints and fuse (row, token) into ONE int64 key
+    per element — all downstream ops are native-int sorts/searches (a
+    structured-dtype searchsorted costs ~30x more per element)."""
+    uni = np.unique(np.concatenate((va, vb)))
+    m = np.int64(uni.size + 1)
+    ka = ra * m + np.searchsorted(uni, va)
+    kb = rb * m + np.searchsorted(uni, vb)
+    return ka, kb
+
+
+def pair_overlap_labeled(
+    va: np.ndarray, oa: np.ndarray, vb: np.ndarray, ob: np.ndarray, m: int
+) -> np.ndarray:
+    """|A_i ∩ B_i| when tokens are pre-relabeled to dense ids < m (built once
+    at broadcast-index time): (row, label) fuses into ONE int64 key, so the
+    whole batch is a single native-int binary search — no per-batch
+    np.unique.  This is the hot verify kernel."""
+    n = oa.size - 1
+    if va.size == 0 or vb.size == 0:
+        return np.zeros(n, np.int64)
+    m = np.int64(m)
+    ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+    rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
+    ka = ra * m + va
+    kb = rb * m + vb
+    idx = np.searchsorted(kb, ka)
+    idx_c = np.minimum(idx, kb.size - 1)
+    match = (kb[idx_c] == ka) & (idx < kb.size)
+    ovlp = np.zeros(n, np.int64)
+    np.add.at(ovlp, ra[match], 1)
+    return ovlp
+
+
 def pair_overlap(
     va: np.ndarray, oa: np.ndarray, vb: np.ndarray, ob: np.ndarray
 ) -> np.ndarray:
     """|A_i ∩ B_i| for each pair i, vectorized.
 
-    Both sides are sorted-unique token lists; (row, token) keys are therefore
-    globally lexsorted, so a single vectorized binary search computes every
-    intersection at C speed (replaces the reference's per-pair sorted-merge
-    loop, simfunc.cc:10-41).
+    Both sides are sorted-unique token lists; tokens are relabeled to a dense
+    range and fused with the row id into one int64 key, so one vectorized
+    int64 binary search computes every intersection at C speed (replaces the
+    reference's per-pair sorted-merge loop, simfunc.cc:10-41).
     """
     n = oa.size - 1
+    if va.size == 0 or vb.size == 0:
+        return np.zeros(n, np.int64)
     ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
     rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
-    A = _as_struct(ra, va)
-    B = _as_struct(rb, vb)
-    if A.size == 0 or B.size == 0:
-        return np.zeros(n, np.int64)
-    idx = np.searchsorted(B, A)
-    idx_c = np.minimum(idx, B.size - 1)
-    match = B[idx_c] == A
-    match &= idx < B.size
+    ka, kb = _compact_keys(va, ra, vb, rb)
+    # ka/kb are sorted already: rows ascending, tokens sorted-unique per row
+    # and relabeling is monotonic — searchsorted directly
+    idx = np.searchsorted(kb, ka)
+    idx_c = np.minimum(idx, kb.size - 1)
+    match = (kb[idx_c] == ka) & (idx < kb.size)
     ovlp = np.zeros(n, np.int64)
     np.add.at(ovlp, ra[match], 1)
     return ovlp
@@ -88,19 +122,18 @@ def pair_weighted_overlap(
 ) -> np.ndarray:
     """Σ wordwt[t] over A_i ∩ B_i (weightedOverlap, simfunc.cc:44-73).
 
-    ``wt_tokens`` is a sorted uint64 array; tokens absent from it take
+    ``wt_tokens`` is a sorted array; tokens absent from it take
     ``default_wt`` (the df=1 IDF — only df>=2 tokens are broadcast)."""
     n = oa.size - 1
+    out = np.zeros(n, np.float64)
+    if va.size == 0 or vb.size == 0:
+        return out
     ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
     rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
-    A = _as_struct(ra, va)
-    B = _as_struct(rb, vb)
-    out = np.zeros(n, np.float64)
-    if A.size == 0 or B.size == 0:
-        return out
-    idx = np.searchsorted(B, A)
-    idx_c = np.minimum(idx, B.size - 1)
-    match = (B[idx_c] == A) & (idx < B.size)
+    ka, kb = _compact_keys(va, ra, vb, rb)
+    idx = np.searchsorted(kb, ka)
+    idx_c = np.minimum(idx, kb.size - 1)
+    match = (kb[idx_c] == ka) & (idx < kb.size)
     toks = va[match]
     wi = np.searchsorted(wt_tokens, toks)
     wi_c = np.minimum(wi, max(wt_tokens.size - 1, 0))

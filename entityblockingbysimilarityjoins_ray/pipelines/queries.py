@@ -262,7 +262,7 @@ def q_topk_blended(sf_dir: str):
             pass
 
         self = _S()
-        self.index, self.vals, self.offs = get_broadcast(ref)
+        self.index, self.vals, self.offs, self.m = get_broadcast(ref)
         if True:
             if t.num_rows == 0:
                 return pa.table({"id1": pa.array([], pa.string()),
@@ -274,7 +274,7 @@ def q_topk_blended(sf_dir: str):
             r2 = self.index.get_indexer(ids2)
             va, oa = gather_lists(self.vals, self.offs, r1)
             vb, ob = gather_lists(self.vals, self.offs, r2)
-            o = S.pair_overlap(va, oa, vb, ob).astype(np.float64)
+            o = S.pair_overlap_labeled(va, oa, vb, ob, self.m).astype(np.float64)
             la = np.diff(oa).astype(np.float64)
             lb = np.diff(ob).astype(np.float64)
             # same expression order as the SQL oracle (left-assoc adds)
@@ -374,11 +374,11 @@ def q_er_f1_report(sf_dir: str):
     t = ray.data.read_parquet(info["transcripts"])
     cfg = _cfg(
         rules=[
-            BlockingRule("doc", "jac", "dlm", threshold=0.35),
-            BlockingRule("doc", "cos", "dlm", threshold=0.5),
+            BlockingRule("doc", "jac", "dlm", threshold=0.5),
+            BlockingRule("doc", "cos", "dlm", threshold=0.55),
             BlockingRule("head", "exm"),
         ],
-        match_threshold=0.42,
+        match_threshold=0.45,
     )
     res = run_pipeline(t, cfg, gold_pairs=gold)
     m = res["metrics"]["match_prf"]

@@ -213,18 +213,21 @@ def _emit_signatures(
         prefix_len = lens - T + 1  # <=0 -> record cannot match (overlap removeShort)
         keep = (pos < prefix_len[rows_o]) & (dfs_o >= 2)
         tok_e, row_e = vals_o[keep], rows_o[keep]
+        pos_e = pos[keep].astype(np.int32)
         df_e = dfs_o[keep]
 
         # salting: records under a hot token replicate across triangle cells
         u_of = bucket_of(hash_strings(ids), max(self.s, 1))
         hot = df_e > self.salt_df
-        cold_tok, cold_row = tok_e[~hot], row_e[~hot]
-        cells = [(cold_tok, cold_row, np.zeros(cold_tok.size, np.int32), np.zeros(cold_tok.size, np.int8))]
+        cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
+        cells = [(cold_tok, cold_row, cold_pos,
+                  np.zeros(cold_tok.size, np.int32), np.zeros(cold_tok.size, np.int8))]
         if hot.any() and self.s > 1:
-            ht, hr = tok_e[hot], row_e[hot]
+            ht, hr, hp = tok_e[hot], row_e[hot], pos_e[hot]
             s = self.s
             ht_r = np.repeat(ht, s)
             hr_r = np.repeat(hr, s)
+            hp_r = np.repeat(hp, s)
             v = np.tile(np.arange(s, dtype=np.int64), ht.size)
             u = u_of[hr_r]
             i = np.minimum(u, v)
@@ -232,11 +235,12 @@ def _emit_signatures(
             cell = (i * s + j + 1).astype(np.int32)
             side = np.where(u <= v, 0, 1).astype(np.int8)
             side = np.where(u == v, 0, side).astype(np.int8)
-            cells.append((ht_r, hr_r, cell, side))
+            cells.append((ht_r, hr_r, hp_r, cell, side))
         tok_all = np.concatenate([c[0] for c in cells])
         row_all = np.concatenate([c[1] for c in cells])
-        cell_all = np.concatenate([c[2] for c in cells])
-        side_all = np.concatenate([c[3] for c in cells])
+        pos_all = np.concatenate([c[2] for c in cells])
+        cell_all = np.concatenate([c[3] for c in cells])
+        side_all = np.concatenate([c[4] for c in cells])
 
         gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
         pb = bucket_of(gmix, self.P)
@@ -248,6 +252,7 @@ def _emit_signatures(
                 "side": pa.array(side_all, type=pa.int8()),
                 "id": pa.array(ids[row_all], type=pa.string()),
                 "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
+                "pos": pa.array(pos_all, type=pa.int32()),
             }
         )
 
@@ -257,19 +262,69 @@ def _emit_signatures(
 # ---------------------------------------------------------------------------
 
 
+def pair_min_overlap(
+    sim: str, threshold: float, la: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Exact pairwise minimum overlap T(la, lb) for sim >= threshold."""
+    la = la.astype(np.float64)
+    lb = lb.astype(np.float64)
+    if sim == "jac":
+        return np.ceil(threshold / (1.0 + threshold) * (la + lb) - _EPS)
+    if sim == "cos":
+        return np.ceil(threshold * np.sqrt(la * lb) - _EPS)
+    if sim == "dice":
+        return np.ceil(threshold * (la + lb) / 2.0 - _EPS)
+    if sim == "overlap":
+        return np.full(la.shape, float(int(threshold)))
+    raise ValueError(sim)
+
+
+def _pair_range_triangle(sizes, cum, p_lo, p_hi):
+    """Decode pair numbers [p_lo, p_hi) of back-to-back triangle groups into
+    (group, i, j) — the chunked form of within_group_pairs."""
+    p = np.arange(p_lo, p_hi, dtype=np.int64)
+    grp = np.searchsorted(cum, p, side="right")
+    base = np.where(grp > 0, cum[grp - 1], 0)
+    p_local = p - base
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * p_local)) / 2.0).astype(np.int64)
+    j_lo = j * (j - 1) // 2
+    j = np.where(p_local < j_lo, j - 1, j)
+    j = np.where(p_local >= (j + 1) * j // 2, j + 1, j)
+    i = p_local - j * (j - 1) // 2
+    return grp, i, j
+
+
 def _pairgen_bucket(
-    t: pa.Table, *, alpha: float | None, max_group_size: int | None
+    t: pa.Table, *, sim: str, threshold: float, alpha: float | None,
+    max_group_size: int | None, chunk_pairs: int = 4_000_000,
 ) -> pa.Table:
+    """Vectorized within-bucket candidate generation with PPJoin-style
+    pruning (Xiao et al., WWW'08):
+
+    - *length filter*: min(la,lb) >= alpha * max(la,lb)
+    - *positional filter*: a pair found under a shared signature token at
+      positions (pa, pb) of the records' df-ascending orders can overlap at
+      most 1 + min(la-pa-1, lb-pb-1) tokens; require that >= T(la,lb).  The
+      pair's globally rarest common token always satisfies the bound, so the
+      output candidate SET is unchanged (exact) — but hot-token groups,
+      where every member carries the token near the END of its prefix, are
+      pruned from quadratic to near-zero.
+
+    Candidate index space is decoded in fixed-size chunks so a hot group
+    never materializes its full m^2/2 index range at once."""
     tok = np.asarray(t.column("tok"), dtype=np.int64)
     cell = np.asarray(t.column("cell"), dtype=np.int64)
     side = np.asarray(t.column("side"), dtype=np.int64)
-    ids = np.asarray(t.column("id").to_numpy(zero_copy_only=False)).astype("U")
+    ids_raw = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
+    pos = np.asarray(t.column("pos"), dtype=np.int64)
+    empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
     if tok.size == 0:
-        return pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
+        return empty
 
     order = np.lexsort((side, cell, tok))
-    tok, cell, side, ids, tlen = tok[order], cell[order], side[order], ids[order], tlen[order]
+    tok, cell, side, tlen, pos = tok[order], cell[order], side[order], tlen[order], pos[order]
+    ids = ids_raw[order].astype("U")
 
     gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
     starts, sizes = group_sizes_from_sorted(gk)
@@ -281,11 +336,11 @@ def _pairgen_bucket(
             "blocking: truncating %d hot groups (dropping %d signature rows, cap=%d)",
             big, dropped, max_group_size,
         )
-        keep_mask = np.ones(tok.size, bool)
         local = np.arange(tok.size) - np.repeat(starts, sizes)
         keep_mask = local < np.repeat(np.minimum(sizes, max_group_size), sizes)
-        tok, cell, side, ids, tlen = (
-            tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask], tlen[keep_mask]
+        tok, cell, side, ids, tlen, pos = (
+            tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask],
+            tlen[keep_mask], pos[keep_mask],
         )
         gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
         starts, sizes = group_sizes_from_sorted(gk)
@@ -295,49 +350,71 @@ def _pairgen_bucket(
     run_id = np.repeat(np.arange(sizes.size), sizes)
     np.add.at(na, run_id[side == 0], 1)
     nb = sizes - na
+    remain = tlen - pos - 1  # tokens after this signature position
 
-    tri = nb == 0
-    i1, j1 = within_group_pairs(na[tri])
-    if i1.size:
-        # within_group_pairs indexes a back-to-back layout; shift to absolute
-        sizes_tri = na[tri]
-        rel_starts = np.concatenate(([0], np.cumsum(sizes_tri)[:-1]))
-        npairs_tri = sizes_tri * (sizes_tri - 1) // 2
-        grp = np.repeat(np.arange(sizes_tri.size), npairs_tri)
-        shift = starts[tri][grp] - rel_starts[grp]
-        i1 = i1 + shift
-        j1 = j1 + shift
+    out1: list[np.ndarray] = []
+    out2: list[np.ndarray] = []
 
-    cross = ~tri
-    i2, j2 = bipartite_pairs(
-        starts[cross], na[cross], starts[cross] + na[cross], nb[cross]
-    )
-
-    ii = np.concatenate((i1, i2))
-    jj = np.concatenate((j1, j2))
-    if ii.size == 0:
-        return pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
-
-    a_ids, b_ids = ids[ii], ids[jj]
-    mask = a_ids != b_ids
-    if alpha is not None:
+    def emit(ii: np.ndarray, jj: np.ndarray):
         la, lb = tlen[ii], tlen[jj]
-        lo = np.minimum(la, lb).astype(np.float64)
-        hi = np.maximum(la, lb).astype(np.float64)
-        mask &= lo >= alpha * hi - _EPS
-    a_ids, b_ids = a_ids[mask], b_ids[mask]
-    swap = a_ids > b_ids
-    id1 = np.where(swap, b_ids, a_ids)
-    id2 = np.where(swap, a_ids, b_ids)
+        mask = np.ones(ii.size, bool)
+        if alpha is not None:
+            lo = np.minimum(la, lb).astype(np.float64)
+            hi = np.maximum(la, lb).astype(np.float64)
+            mask &= lo >= alpha * hi - _EPS
+        T = pair_min_overlap(sim, threshold, la, lb)
+        mask &= 1.0 + np.minimum(remain[ii], remain[jj]) >= T
+        ii, jj = ii[mask], jj[mask]
+        if ii.size == 0:
+            return
+        a_ids, b_ids = ids[ii], ids[jj]
+        neq = a_ids != b_ids
+        a_ids, b_ids = a_ids[neq], b_ids[neq]
+        swap = a_ids > b_ids
+        out1.append(np.where(swap, b_ids, a_ids))
+        out2.append(np.where(swap, a_ids, b_ids))
+
+    # triangle groups (unsalted + self-cells), chunked pair-range decode
+    tri = nb == 0
+    sizes_tri = na[tri]
+    starts_tri = starts[tri]
+    npairs_tri = sizes_tri * (sizes_tri - 1) // 2
+    cum_tri = np.cumsum(npairs_tri)
+    total_tri = int(cum_tri[-1]) if cum_tri.size else 0
+    for p0 in range(0, total_tri, chunk_pairs):
+        p1 = min(p0 + chunk_pairs, total_tri)
+        grp, i, j = _pair_range_triangle(sizes_tri, cum_tri, p0, p1)
+        emit(starts_tri[grp] + i, starts_tri[grp] + j)
+
+    # bipartite groups (salted cross cells), chunked
+    cross = ~tri
+    sa, sb = na[cross], nb[cross]
+    st = starts[cross]
+    npairs_bi = sa * sb
+    cum_bi = np.cumsum(npairs_bi)
+    total_bi = int(cum_bi[-1]) if cum_bi.size else 0
+    for p0 in range(0, total_bi, chunk_pairs):
+        p1 = min(p0 + chunk_pairs, total_bi)
+        p = np.arange(p0, p1, dtype=np.int64)
+        grp = np.searchsorted(cum_bi, p, side="right")
+        base = np.where(grp > 0, cum_bi[grp - 1], 0)
+        p_local = p - base
+        szb = sb[grp]
+        emit(st[grp] + p_local // szb, st[grp] + sa[grp] + p_local % szb)
+
+    if not out1:
+        return empty
+    id1 = np.concatenate(out1)
+    id2 = np.concatenate(out2)
     # local dedup before the pair shuffle: the same pair surfaces once per
     # shared signature token; exact verify recomputes overlap from full sets,
-    # so multiplicity carries no information — dropping it here cuts the
-    # dedup-shuffle volume by the average signature overlap factor
-    if id1.size:
-        pairkey = pd.MultiIndex.from_arrays([id1, id2])
-        keep_first = ~pairkey.duplicated()
-        id1, id2 = id1[keep_first], id2[keep_first]
-    return pa.table({"id1": pa.array(id1, pa.string()), "id2": pa.array(id2, pa.string())})
+    # so multiplicity carries no information
+    pairkey = pd.MultiIndex.from_arrays([id1, id2])
+    keep_first = ~pairkey.duplicated()
+    return pa.table(
+        {"id1": pa.array(id1[keep_first], pa.string()),
+         "id2": pa.array(id2[keep_first], pa.string())}
+    )
 
 
 def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str | None = None):
@@ -423,7 +500,9 @@ def setsim_self_join(
     )
     candidates = sigs.groupby("pb").map_groups(
         _pairgen_bucket,
-        fn_kwargs={"alpha": length_ratio(sim, threshold), "max_group_size": cfg.max_group_size},
+        fn_kwargs={"sim": sim, "threshold": threshold,
+                   "alpha": length_ratio(sim, threshold),
+                   "max_group_size": cfg.max_group_size},
         batch_format="pyarrow",
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)

@@ -167,7 +167,7 @@ def _jaccard_verify(df: pd.DataFrame, *, toks_ref, threshold) -> pd.DataFrame:
         pass
 
     self = _S()
-    self.index, self.vals, self.offs = get_broadcast(toks_ref)
+    self.index, self.vals, self.offs, self.m = get_broadcast(toks_ref)
     self.threshold = threshold
     if True:
         from ..functions import sims as S
@@ -181,7 +181,7 @@ def _jaccard_verify(df: pd.DataFrame, *, toks_ref, threshold) -> pd.DataFrame:
         r2 = self.index.get_indexer(df["id2"])
         va, oa = gather_lists(self.vals, self.offs, r1)
         vb, ob = gather_lists(self.vals, self.offs, r2)
-        ov = S.pair_overlap(va, oa, vb, ob)
+        ov = S.pair_overlap_labeled(va, oa, vb, ob, self.m)
         sim = S.set_sims_from_overlap(ov, np.diff(oa), np.diff(ob), "jac")
         keep = sim >= self.threshold
         return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
@@ -214,7 +214,9 @@ def minhash_lsh_dedup(
     tbl = collect_arrow(docs.select_columns([id_col, text_col]))
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     vals, offs = tokenize_array(tbl.column(text_col), tok, q)
-    ref = ray.put((pd.Index(ids), vals, offs))
+    uni = np.unique(vals)
+    labels = np.searchsorted(uni, vals).astype(np.int64)
+    ref = ray.put((pd.Index(ids), labels, offs, int(uni.size) + 1))
     return cands.map_batches(
         _jaccard_verify, fn_kwargs=dict(toks_ref=ref, threshold=threshold),
         batch_format="pandas",

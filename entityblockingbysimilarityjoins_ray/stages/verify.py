@@ -39,7 +39,9 @@ def collect_arrow(ds: "ray.data.Dataset") -> pa.Table:
 
 
 def collect_token_index(toks_ds: "ray.data.Dataset"):
-    """Materialize {conv_id -> token set} as flat numpy arrays + id index.
+    """Materialize {conv_id -> token set} as flat numpy arrays + id index,
+    with token hashes relabeled ONCE to a dense [0, m) space so the verify
+    kernel can fuse (row, token) into single int64 keys (pair_overlap_labeled).
 
     Only valid when the record table fits the driver/object store
     (cfg.broadcast_limit); the join path below is the unbounded-scale path.
@@ -47,8 +49,10 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
     ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
     vals, offs = S.flatten_lists(tbl.column("toks"))
+    uni = np.unique(vals)
+    labels = np.searchsorted(uni, vals).astype(np.int64)  # per-row order kept
     index = pd.Index(ids)
-    return index, vals, offs
+    return index, labels, offs, int(uni.size) + 1
 
 
 def gather_lists(vals: np.ndarray, offs: np.ndarray, rows: np.ndarray):
@@ -65,8 +69,11 @@ def gather_lists(vals: np.ndarray, offs: np.ndarray, rows: np.ndarray):
     return out, new_offs
 
 
-def _sim_batch(va, oa, vb, ob, sim: str) -> np.ndarray:
-    ovlp = S.pair_overlap(va, oa, vb, ob)
+def _sim_batch(va, oa, vb, ob, sim: str, m: int | None = None) -> np.ndarray:
+    if m is not None:
+        ovlp = S.pair_overlap_labeled(va, oa, vb, ob, m)
+    else:
+        ovlp = S.pair_overlap(va, oa, vb, ob)
     la, lb = np.diff(oa), np.diff(ob)
     if sim == "overlap":
         return ovlp.astype(np.float64)
@@ -76,7 +83,7 @@ def _sim_batch(va, oa, vb, ob, sim: str) -> np.ndarray:
 def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
     """Stateless verify task: token index fetched once per worker process
     (get_broadcast; zero-copy plasma) — no actor-pool CPU reservation."""
-    index, vals, offs = get_broadcast(toks_ref)
+    index, vals, offs, m = get_broadcast(toks_ref)
     ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
     ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
     r1 = index.get_indexer(ids1)
@@ -85,7 +92,7 @@ def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: fl
     ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
     va, oa = gather_lists(vals, offs, r1)
     vb, ob = gather_lists(vals, offs, r2)
-    s = _sim_batch(va, oa, vb, ob, sim)
+    s = _sim_batch(va, oa, vb, ob, sim, m)
     keep = s >= threshold
     return pa.table(
         {

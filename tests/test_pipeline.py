@@ -17,14 +17,14 @@ from entityblockingbysimilarityjoins_ray.pipelines.er import block, run_pipeline
 from entityblockingbysimilarityjoins_ray.stages import blocking as B
 
 RULES = [
-    BlockingRule("doc", "jac", "dlm", threshold=0.35),
-    BlockingRule("doc", "cos", "dlm", threshold=0.5),
+    BlockingRule("doc", "jac", "dlm", threshold=0.5),
+    BlockingRule("doc", "cos", "dlm", threshold=0.55),
     BlockingRule("head", "exm"),
 ]
 
 
 def _cfg(**kw):
-    base = dict(num_buckets=8, pair_partitions=8, rules=RULES, match_threshold=0.42)
+    base = dict(num_buckets=8, pair_partitions=8, rules=RULES, match_threshold=0.45)
     base.update(kw)
     return PipelineConfig(**base)
 
@@ -76,8 +76,8 @@ def test_passed_rules_counts(tiny_docs):
     sample = cands.sample(n=min(150, len(cands)), random_state=0)
     for r in sample.itertuples():
         n = 0
-        n += S.jaccard(bags[r.id1], bags[r.id2]) >= 0.35
-        n += S.cosine(bags[r.id1], bags[r.id2]) >= 0.5
+        n += S.jaccard(bags[r.id1], bags[r.id2]) >= 0.5
+        n += S.cosine(bags[r.id1], bags[r.id2]) >= 0.55
         n += heads[r.id1] == heads[r.id2]
         assert n == r.passed_rules, (r.id1, r.id2, n, r.passed_rules)
 
@@ -97,7 +97,7 @@ def test_checkpoint_resume(tmp_path, tiny_fixture):
     m2 = res2["matches"].to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(m1, m2)
     # config change invalidates the fingerprint -> recompute
-    cfg2 = _cfg(checkpoint_dir=ck, resume=True, match_threshold=0.5)
+    cfg2 = _cfg(checkpoint_dir=ck, resume=True, match_threshold=0.6)
     run_pipeline(ray.data.from_pandas(tdf), cfg2, gold_pairs=gold_pairs)
     man3 = json.load(open(os.path.join(ck, "matches", "_MANIFEST.json")))
     assert man3["fingerprint"] != man1.get("matches", {})
