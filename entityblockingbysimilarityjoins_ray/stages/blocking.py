@@ -326,8 +326,15 @@ def _pairgen_bucket(
     tok, cell, side, tlen, pos = tok[order], cell[order], side[order], tlen[order], pos[order]
     ids = ids_raw[order].astype("U")
 
-    gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
-    starts, sizes = group_sizes_from_sorted(gk)
+    def _run_bounds(tok_s: np.ndarray, cell_s: np.ndarray):
+        # array is lexsorted by (tok, cell): boundaries straight from the
+        # columns — no fused-hash collision hole
+        change = (tok_s[1:] != tok_s[:-1]) | (cell_s[1:] != cell_s[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        sizes = np.diff(np.concatenate((starts, [tok_s.size])))
+        return starts, sizes
+
+    starts, sizes = _run_bounds(tok, cell)
 
     if max_group_size is not None and sizes.size and sizes.max() > max_group_size:
         big = int((sizes > max_group_size).sum())
@@ -342,8 +349,7 @@ def _pairgen_bucket(
             tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask],
             tlen[keep_mask], pos[keep_mask],
         )
-        gk = (tok.view(_U64) ^ (cell.astype(_U64) * _U64(0xD6E8FEB86659FD93))).view(np.int64)
-        starts, sizes = group_sizes_from_sorted(gk)
+        starts, sizes = _run_bounds(tok, cell)
 
     # split each run into side-0 and side-1 halves (side sorted within run)
     na = np.zeros(sizes.size, np.int64)

@@ -19,11 +19,15 @@ the verify step makes precision exact.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashing import (
     bucket_of,
@@ -148,6 +152,14 @@ def _candidate_pairs_from_keys(df: pd.DataFrame, max_bucket: int = 2000) -> pd.D
     key, ids = key[order], ids[order]
     starts, sizes = group_sizes_from_sorted(key)
     sizes_c = np.minimum(sizes, max_bucket)
+    if sizes.size and sizes.max() > max_bucket:
+        n_trunc = int((sizes > max_bucket).sum())
+        dropped = int((sizes - sizes_c).sum())
+        logger.warning(
+            "lsh: truncating %d hot buckets (dropping %d rows, cap=%d) — "
+            "recall loss possible; raise max_bucket to make exact",
+            n_trunc, dropped, max_bucket,
+        )
     ii, jj = within_group_pairs(sizes_c)
     if ii.size:
         rel = np.concatenate(([0], np.cumsum(sizes_c)[:-1]))
@@ -248,8 +260,19 @@ def simhash_dedup(
     docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", max_hamming=3,
     num_partitions=32, tok="alphanumeric", q=3,
 ) -> "ray.data.Dataset":
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
-    pigeonhole LSH + exact Hamming verify."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via banded
+    pigeonhole LSH + exact Hamming verify.
+
+    Band count is derived from the radius: ``max_hamming + 1`` bands
+    guarantee (pigeonhole) that any pair within the radius shares at least
+    one *identical* band, so candidate recall is 1.0 for the requested
+    radius — no silent recall hole."""
+    assert 0 <= max_hamming < 64
+    n_bands = max_hamming + 1
+    widths = np.full(n_bands, 64 // n_bands, dtype=np.int64)
+    widths[: 64 % n_bands] += 1
+    bit_starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+
     sigs = docs.map_batches(
         lambda t: simhash_signatures(t, id_col, text_col, tok, q), batch_format="pyarrow"
     )
@@ -258,9 +281,16 @@ def simhash_dedup(
         ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
         sh = np.asarray(t.column("simhash"), dtype=np.int64).view(_U64)
         rows = []
-        for b in range(4):
-            piece = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
-            key = piece | (b << 17)
+        for b in range(n_bands):
+            w, s0 = int(widths[b]), int(bit_starts[b])
+            if w >= 64:
+                piece = sh
+            else:
+                piece = (sh >> _U64(s0)) & ((_U64(1) << _U64(w)) - _U64(1))
+            # mix band index into the key; a cross-band key collision can only
+            # ADD candidates (exact verify prunes), never drop true pairs
+            band_mix = _U64(((b + 1) * 0xD6E8FEB86659FD93) % (1 << 64))
+            key = (piece * _U64(0x9E3779B97F4A7C15) ^ band_mix).view(np.int64)
             rows.append((key, ids, sh.view(np.int64)))
         key = np.concatenate([r[0] for r in rows])
         idv = np.concatenate([r[1] for r in rows])
@@ -331,7 +361,7 @@ def embedding_dup_pairs(
     tbl = collect_arrow(emb.select_columns([id_col, vec_col]))
     ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
     col = tbl.column(vec_col)
-    col = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     M = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     Mn = M / np.maximum(norms, 1e-30)
