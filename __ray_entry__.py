@@ -30,6 +30,7 @@ def entry() -> Any:
     from entityblockingbysimilarityjoins_ray.config import BlockingRule, PipelineConfig
     from entityblockingbysimilarityjoins_ray.fixtures import ensure_fixture
     from entityblockingbysimilarityjoins_ray.pipelines.er import run_pipeline
+    from entityblockingbysimilarityjoins_ray.sources.io import read_parquet_clean
 
     info = ensure_fixture("/root/testdata/sf0.001")
     cfg = PipelineConfig(
@@ -42,7 +43,7 @@ def entry() -> Any:
         ],
         match_threshold=0.45,
     )
-    res = run_pipeline(ray.data.read_parquet(info["transcripts"]), cfg)
+    res = run_pipeline(read_parquet_clean(info["transcripts"]), cfg)
     return res["clusters"]
 
 

@@ -43,6 +43,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from entityblockingbysimilarityjoins_ray.config import BlockingRule, PipelineConfig
     from entityblockingbysimilarityjoins_ray.fixtures import ensure_fixture, sf_of_dir
+    from entityblockingbysimilarityjoins_ray.sources.io import read_parquet_clean
 
     info = ensure_fixture(sf_dir)  # untimed: deterministic synthesis + cache
     _init_ray(num_cpus)
@@ -50,7 +51,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray.data
 
     # warm the page cache (untimed) so we measure compute+shuffle, not cold IO
-    ray.data.read_parquet(info["transcripts"]).count()
+    read_parquet_clean(info["transcripts"]).count()
 
     from entityblockingbysimilarityjoins_ray.pipelines.er import run_pipeline
 
@@ -70,7 +71,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t_all0 = time.time()
 
     t0 = time.time()
-    transcripts = ray.data.read_parquet(info["transcripts"])
+    transcripts = read_parquet_clean(info["transcripts"])
     n_turns = transcripts.count()
     import pandas as pd
 
@@ -86,7 +87,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from entityblockingbysimilarityjoins_ray.stages.dedup import minhash_lsh_dedup
 
     minhash_lsh_dedup(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         threshold=0.5,
     ).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
@@ -95,7 +96,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from entityblockingbysimilarityjoins_ray.stages.ann import ann_topk_bruteforce
     import numpy as np
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qids = [r["vec_id"] for r in emb.sort("vec_id").limit(16).take_all()]
     ann_topk_bruteforce(emb, np.array(qids), k=10)
     queries["ann_topk"] = round(time.time() - t0, 3)
@@ -103,7 +104,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     from entityblockingbysimilarityjoins_ray.stages.text import text_stats
 
-    text_stats(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])).count()
+    text_stats(read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])).count()
     queries["text_stats"] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all0, 3)

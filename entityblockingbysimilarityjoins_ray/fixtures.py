@@ -191,9 +191,15 @@ def ensure_fixture(sf_dir_or_sf) -> dict:
         tdf, gp, gc = generate(n)
         os.makedirs(FIXTURE_ROOT, exist_ok=True)
         tmp = tempfile.mkdtemp(dir=FIXTURE_ROOT)
-        tdf.to_parquet(os.path.join(tmp, "transcripts.parquet"), index=False)
-        gp.to_parquet(os.path.join(tmp, "gold_pairs.parquet"), index=False)
-        gc.to_parquet(os.path.join(tmp, "gold_clusters.parquet"), index=False)
+        # write via pyarrow with schema metadata stripped: pandas' schema
+        # metadata makes pyarrow Schemas unhashable, which defeats Ray Data's
+        # schema dedup downstream (see sources/io.py:_strip_meta)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for name, frame in (("transcripts", tdf), ("gold_pairs", gp), ("gold_clusters", gc)):
+            tbl = _pa.Table.from_pandas(frame, preserve_index=False)
+            _pq.write_table(tbl.replace_schema_metadata(None), os.path.join(tmp, f"{name}.parquet"))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump({"sf": sf, "n_convs": int(n), "seed": SEED, "rows": int(len(tdf))}, f)
         try:

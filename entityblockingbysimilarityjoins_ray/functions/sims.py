@@ -80,9 +80,7 @@ def pair_overlap_labeled(
     idx = np.searchsorted(kb, ka)
     idx_c = np.minimum(idx, kb.size - 1)
     match = (kb[idx_c] == ka) & (idx < kb.size)
-    ovlp = np.zeros(n, np.int64)
-    np.add.at(ovlp, ra[match], 1)
-    return ovlp
+    return np.bincount(ra[match], minlength=n)  # ~10x np.add.at
 
 
 def pair_overlap(
@@ -106,9 +104,7 @@ def pair_overlap(
     idx = np.searchsorted(kb, ka)
     idx_c = np.minimum(idx, kb.size - 1)
     match = (kb[idx_c] == ka) & (idx < kb.size)
-    ovlp = np.zeros(n, np.int64)
-    np.add.at(ovlp, ra[match], 1)
-    return ovlp
+    return np.bincount(ra[match], minlength=n)
 
 
 def pair_weighted_overlap(
@@ -142,7 +138,7 @@ def pair_weighted_overlap(
         w = np.where(known, wt_values[wi_c], default_wt)
     else:
         w = np.full(toks.size, default_wt)
-    np.add.at(out, ra[match], w)
+    out += np.bincount(ra[match], weights=w, minlength=n)
     return out
 
 

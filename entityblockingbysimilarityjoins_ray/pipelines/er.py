@@ -38,23 +38,63 @@ from ..stages.matcher import pairwise_prf, threshold_match
 logger = logging.getLogger(__name__)
 
 
+class _SetsimShared:
+    """Per-(attr, tok, q) state shared by every setsim-family rule: tokenized
+    dataset, df table, broadcast verify index, empty-record ids, count.
+    Mirrors the reference's per-tokenization datasets_map
+    (block.cc:204-273) — built once, probed per rule."""
+
+    def __init__(self, docs: "ray.data.Dataset", cfg: PipelineConfig):
+        self.docs = docs
+        self.cfg = cfg
+        self._by_key: dict = {}
+        self._n_records: int | None = None
+
+    def n_records(self) -> int:
+        if self._n_records is None:
+            self._n_records = self.docs.count()
+        return self._n_records
+
+    def get(self, attr: str, tok: str, q: int) -> dict:
+        import ray as _ray
+
+        key = (attr, tok, q)
+        if key not in self._by_key:
+            toks = B.tokenize_docs(self.docs, attr, tok, q).materialize()
+            broadcast = self.n_records() <= self.cfg.broadcast_limit
+            entry = {
+                "toks": toks,
+                "df_ref": _ray.put(B.build_df_table(toks)),
+                "broadcast": broadcast,
+                "verify_ref": None,
+                "empty_ids": B.empty_record_ids(toks) if self.cfg.include_empty_pairs else [],
+            }
+            if broadcast:
+                from ..stages.verify import collect_token_index
+
+                entry["verify_ref"] = _ray.put(collect_token_index(toks))
+            self._by_key[key] = entry
+        return self._by_key[key]
+
+
 def run_rule(
     docs: "ray.data.Dataset",
     rule: BlockingRule,
     cfg: PipelineConfig,
-    toks_cache: dict | None = None,
+    shared: "_SetsimShared | None" = None,
 ) -> "ray.data.Dataset":
     """Dispatch one blocking rule to its join implementation
     (simjoin_blocker.cc:8-177 dispatch table)."""
     if rule.sim in ("jac", "cos", "dice", "overlap"):
-        key = (rule.attr, rule.tok, rule.q)
-        if toks_cache is not None and key in toks_cache:
-            toks = toks_cache[key]
-        else:
-            toks = B.tokenize_docs(docs, rule.attr, rule.tok, rule.q).materialize()
-            if toks_cache is not None:
-                toks_cache[key] = toks
-        return B.setsim_self_join(toks, sim=rule.sim, threshold=rule.threshold, cfg=cfg)
+        if shared is None:
+            shared = _SetsimShared(docs, cfg)
+        st = shared.get(rule.attr, rule.tok, rule.q)
+        return B.setsim_self_join(
+            st["toks"], sim=rule.sim, threshold=rule.threshold, cfg=cfg,
+            df_ref=st["df_ref"], broadcast=st["broadcast"],
+            verify_ref=st["verify_ref"], empty_ids=st["empty_ids"],
+            n_records=shared.n_records(),
+        )
     if rule.sim == "exm":
         return B.exact_self_join(docs, rule.attr, cfg)
     if rule.sim == "anm":
@@ -88,8 +128,8 @@ def block(
     docs: "ray.data.Dataset", cfg: PipelineConfig
 ) -> "ray.data.Dataset":
     """All configured rules -> unioned candidate pairs."""
-    toks_cache: dict = {}
-    per_rule = [run_rule(docs, r, cfg, toks_cache) for r in cfg.rules]
+    shared = _SetsimShared(docs, cfg)
+    per_rule = [run_rule(docs, r, cfg, shared) for r in cfg.rules]
     return union_rules(per_rule, cfg)
 
 

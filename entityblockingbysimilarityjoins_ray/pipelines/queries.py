@@ -87,7 +87,9 @@ def _subset_filter_ray(ds):
 
 def _fixture_transcripts(sf_dir: str):
     info = ensure_fixture(sf_dir)
-    return ray.data.read_parquet(info["transcripts"])
+    from ..sources.io import read_parquet_clean
+
+    return read_parquet_clean(info["transcripts"])
 
 
 def _docs(sf_dir: str, subset: bool):
@@ -371,7 +373,7 @@ def q_er_f1_report(sf_dir: str):
 
     info = ensure_fixture(sf_dir)
     gold = pd.read_parquet(info["gold_pairs"])
-    t = ray.data.read_parquet(info["transcripts"])
+    t = _fixture_transcripts(sf_dir)
     cfg = _cfg(
         rules=[
             BlockingRule("doc", "jac", "dlm", threshold=0.5),
@@ -402,7 +404,9 @@ def q_er_f1_report(sf_dir: str):
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def q_dedup_exact_docs(sf_dir: str):

@@ -81,6 +81,23 @@ def checkpoint_stage(
     return ray.data.read_parquet(stage_dir), man
 
 
+def _strip_meta(t):
+    """Drop schema-level metadata (zero-copy).
+
+    Parquet written by pandas carries a ``pandas`` schema-metadata dict that
+    makes ``pyarrow.Schema`` UNHASHABLE — Ray Data's schema-dedup then logs
+    'Failed to hash the schemas' per block and re-unifies schemas on every
+    operator boundary.  Stripping it once at the read restores hashable
+    schemas for the whole downstream plan."""
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, columns=None, **kw) -> "ray.data.Dataset":
+    """``read_parquet`` with column pruning + schema-metadata strip."""
+    ds = ray.data.read_parquet(path, columns=columns, **kw)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
 def read_transcripts(path: str, columns=None) -> "ray.data.Dataset":
     """Parquet transcript source with column pruning at the read."""
-    return ray.data.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)

@@ -39,7 +39,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import PipelineConfig
 from ..functions.hashing import (
@@ -86,27 +85,46 @@ def tokenize_docs(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-def _partial_df(t: pa.Table) -> pa.Table:
+def _partial_df(t: pa.Table, num_buckets: int = 64) -> pa.Table:
     """Per-batch partial document-frequency counts (combiner before shuffle)."""
     col = t.column("toks")
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     vals = np.asarray(col.flatten(), dtype=np.int64)  # unique per record already
     toks, cnt = np.unique(vals, return_counts=True)
-    return pa.table({"tok": pa.array(toks, type=pa.int64()), "df": pa.array(cnt, type=pa.int64())})
+    return pa.table({
+        "pb": pa.array(bucket_of(toks, num_buckets), type=pa.int32()),
+        "tok": pa.array(toks, type=pa.int64()),
+        "df": pa.array(cnt, type=pa.int64()),
+    })
 
 
-def build_df_table(toks_ds: "ray.data.Dataset", min_df: int = 2):
+def _sum_df_bucket(t: pa.Table) -> pa.Table:
+    tok = np.asarray(t.column("tok"), dtype=np.int64)
+    df = np.asarray(t.column("df"), dtype=np.int64)
+    order = np.argsort(tok)
+    tok, df = tok[order], df[order]
+    starts, _ = group_sizes_from_sorted(tok)
+    sums = np.add.reduceat(df, starts) if tok.size else np.empty(0, np.int64)
+    return pa.table({"tok": pa.array(tok[starts], pa.int64()), "df": pa.array(sums, pa.int64())})
+
+
+def build_df_table(toks_ds: "ray.data.Dataset", min_df: int = 2, num_buckets: int = 64):
     """Global token document frequencies -> (sorted tok hashes, dfs) numpy.
 
-    Two-stage aggregation (partial per batch, then groupby-sum) replaces the
-    reference's global inverted-index pass (tokenizer.cc:300-331).  Only
-    df >= min_df tokens are kept: df=1 'widow' tokens cannot produce a
+    Two-stage aggregation — partial per batch, then a BUCKET groupby with a
+    vectorized reduceat per bucket — replaces the reference's global
+    inverted-index pass (tokenizer.cc:300-331).  A direct
+    ``groupby(tok).aggregate(Sum)`` is ~25x slower here: Ray's sort-based
+    aggregate sorts on the full 64-bit key domain, while bucketing sorts a
+    num_buckets-ary key and does the per-token sum in one reduceat.
+    Only df >= min_df tokens are kept: df=1 'widow' tokens cannot produce a
     candidate pair (reference removeWidow, ovlpjoin.cc:398) so the broadcast
     dictionary stays vocabulary-sized, not corpus-sized."""
     agg = (
-        toks_ds.map_batches(_partial_df, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("df", alias_name="df"))
+        toks_ds.map_batches(_partial_df, fn_kwargs={"num_buckets": num_buckets},
+                            batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(lambda g: _sum_df_bucket(g), batch_format="pyarrow")
     )
     pdf = agg.to_pandas()
     pdf = pdf[pdf["df"] >= min_df]
@@ -217,7 +235,8 @@ def _emit_signatures(
         df_e = dfs_o[keep]
 
         # salting: records under a hot token replicate across triangle cells
-        u_of = bucket_of(hash_strings(ids), max(self.s, 1))
+        idh = hash_strings(ids)
+        u_of = bucket_of(idh, max(self.s, 1))
         hot = df_e > self.salt_df
         cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
         cells = [(cold_tok, cold_row, cold_pos,
@@ -244,6 +263,7 @@ def _emit_signatures(
 
         gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
         pb = bucket_of(gmix, self.P)
+        # idh carried so pair dedup is int-keyed downstream
         return pa.table(
             {
                 "pb": pa.array(pb, type=pa.int32()),
@@ -251,6 +271,7 @@ def _emit_signatures(
                 "cell": pa.array(cell_all, type=pa.int32()),
                 "side": pa.array(side_all, type=pa.int8()),
                 "id": pa.array(ids[row_all], type=pa.string()),
+                "idh": pa.array(idh[row_all], type=pa.int64()),
                 "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
                 "pos": pa.array(pos_all, type=pa.int32()),
             }
@@ -316,15 +337,18 @@ def _pairgen_bucket(
     cell = np.asarray(t.column("cell"), dtype=np.int64)
     side = np.asarray(t.column("side"), dtype=np.int64)
     ids_raw = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
+    idh_raw = np.asarray(t.column("idh"), dtype=np.int64)
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
     pos = np.asarray(t.column("pos"), dtype=np.int64)
-    empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())})
+    empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+                      "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     if tok.size == 0:
         return empty
 
     order = np.lexsort((side, cell, tok))
     tok, cell, side, tlen, pos = tok[order], cell[order], side[order], tlen[order], pos[order]
-    ids = ids_raw[order].astype("U")
+    ids = ids_raw[order]
+    idh = idh_raw[order]
 
     def _run_bounds(tok_s: np.ndarray, cell_s: np.ndarray):
         # array is lexsorted by (tok, cell): boundaries straight from the
@@ -345,9 +369,9 @@ def _pairgen_bucket(
         )
         local = np.arange(tok.size) - np.repeat(starts, sizes)
         keep_mask = local < np.repeat(np.minimum(sizes, max_group_size), sizes)
-        tok, cell, side, ids, tlen, pos = (
+        tok, cell, side, ids, idh, tlen, pos = (
             tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask],
-            tlen[keep_mask], pos[keep_mask],
+            idh[keep_mask], tlen[keep_mask], pos[keep_mask],
         )
         starts, sizes = _run_bounds(tok, cell)
 
@@ -370,15 +394,9 @@ def _pairgen_bucket(
             mask &= lo >= alpha * hi - _EPS
         T = pair_min_overlap(sim, threshold, la, lb)
         mask &= 1.0 + np.minimum(remain[ii], remain[jj]) >= T
-        ii, jj = ii[mask], jj[mask]
-        if ii.size == 0:
-            return
-        a_ids, b_ids = ids[ii], ids[jj]
-        neq = a_ids != b_ids
-        a_ids, b_ids = a_ids[neq], b_ids[neq]
-        swap = a_ids > b_ids
-        out1.append(np.where(swap, b_ids, a_ids))
-        out2.append(np.where(swap, a_ids, b_ids))
+        mask &= idh[ii] != idh[jj]  # self-pairs (id-hash equality == id equality)
+        out1.append(ii[mask])
+        out2.append(jj[mask])
 
     # triangle groups (unsalted + self-cells), chunked pair-range decode
     tri = nb == 0
@@ -410,45 +428,83 @@ def _pairgen_bucket(
 
     if not out1:
         return empty
-    id1 = np.concatenate(out1)
-    id2 = np.concatenate(out2)
+    ii = np.concatenate(out1)
+    jj = np.concatenate(out2)
     # local dedup before the pair shuffle: the same pair surfaces once per
-    # shared signature token; exact verify recomputes overlap from full sets,
-    # so multiplicity carries no information
-    pairkey = pd.MultiIndex.from_arrays([id1, id2])
-    keep_first = ~pairkey.duplicated()
+    # shared signature token; dedup on canonicalized 64-bit id-hash pairs
+    # (int lexsort — no string keys in the hot path), gather id strings only
+    # for the survivors.  exact verify recomputes overlap from full sets, so
+    # multiplicity carries no information.
+    h1, h2 = idh[ii], idh[jj]
+    k1 = np.minimum(h1, h2)
+    k2 = np.maximum(h1, h2)
+    order2 = np.lexsort((k2, k1))
+    k1s, k2s = k1[order2], k2[order2]
+    first = np.ones(k1s.size, bool)
+    first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+    keep_idx = order2[first]
+    a_ids = ids[ii[keep_idx]].astype("U")
+    b_ids = ids[jj[keep_idx]].astype("U")
+    swap = a_ids > b_ids
     return pa.table(
-        {"id1": pa.array(id1[keep_first], pa.string()),
-         "id2": pa.array(id2[keep_first], pa.string())}
+        {"id1": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
+         "id2": pa.array(np.where(swap, a_ids, b_ids), pa.string()),
+         "k1": pa.array(k1s[first], pa.int64()),
+         "k2": pa.array(k2s[first], pa.int64())}
     )
 
 
 def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str | None = None):
     """Hash-bucket dedup of (id1,id2) [optionally keeping a multiplicity count
     and max-sim], replacing groupby-on-every-pair with groupby-on-bucket +
-    vectorized pandas dedup (reference analogue: sort+unique dup check,
-    setjoin_parallel.h:321-328)."""
+    vectorized int-keyed dedup (reference analogue: sort+unique dup check,
+    setjoin_parallel.h:321-328).
 
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        h = hash_strings((df["id1"].astype(str) + "|" + df["id2"].astype(str)).to_numpy(object))
-        df = df.copy()
-        df["pb"] = bucket_of(h, num_partitions)
-        return df
+    Pair identity is the canonicalized 64-bit id-hash pair (k1, k2) — carried
+    from pair generation when present, derived otherwise — so the shuffle key
+    and the in-bucket sort never touch string columns."""
 
-    def dd(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["pb"])
-        if count_col is None:
-            return df.drop_duplicates(["id1", "id2"])
-        g = df.groupby(["id1", "id2"], sort=False)
-        out = g.size().rename(count_col).reset_index()
-        if "sim" in df.columns:
-            out = out.merge(g["sim"].max().reset_index(), on=["id1", "id2"])
-        return out
+    def add_pb(t: pa.Table) -> pa.Table:
+        if "k1" in t.column_names:
+            k1 = np.asarray(t.column("k1"), dtype=np.int64)
+            k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        else:
+            k1 = hash_strings(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object))
+            k2 = hash_strings(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object))
+            t = t.append_column("k1", pa.array(k1, pa.int64()))
+            t = t.append_column("k2", pa.array(k2, pa.int64()))
+        mix = k1.view(_U64) * _U64(0x9E3779B97F4A7C15) ^ k2.view(_U64)
+        return t.append_column("pb", pa.array(bucket_of(mix, num_partitions), pa.int32()))
+
+    def dd(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        order = np.lexsort((k2, k1))
+        k1s, k2s = k1[order], k2[order]
+        firsts = np.ones(k1s.size, bool)
+        if k1s.size:
+            firsts[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        starts = np.flatnonzero(firsts)
+        keep = order[starts]
+        out_cols = {
+            "id1": t.column("id1").take(pa.array(keep)),
+            "id2": t.column("id2").take(pa.array(keep)),
+        }
+        if count_col is not None:
+            runs = np.diff(np.concatenate((starts, [k1s.size])))
+            out_cols[count_col] = pa.array(runs.astype(np.int64), pa.int64())
+            if "sim" in t.column_names:
+                sim = np.asarray(t.column("sim"), dtype=np.float64)[order]
+                out_cols["sim"] = pa.array(np.maximum.reduceat(sim, starts) if starts.size
+                                           else np.empty(0, np.float64), pa.float64())
+        elif "sim" in t.column_names:
+            out_cols["sim"] = t.column("sim").take(pa.array(keep))
+        return pa.table(out_cols)
 
     return (
-        pairs.map_batches(add_pb, batch_format="pandas")
+        pairs.map_batches(add_pb, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(dd, batch_format="pandas")
+        .map_groups(dd, batch_format="pyarrow")
     )
 
 
@@ -457,16 +513,21 @@ def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str 
 # ---------------------------------------------------------------------------
 
 
-def _empty_pairs_ds(toks_ds, cfg: PipelineConfig):
-    """Pairs of empty-token records: jaccard(∅,∅)=1.0 (simfunc.cc:129-130)."""
+def empty_record_ids(toks_ds) -> list:
+    """ids of empty-token records (full scan, do ONCE per tokenization)."""
     import pyarrow.compute as pc
 
     empties = toks_ds.map_batches(
         lambda t: t.filter(pc.equal(t["tlen"], 0)).select(["conv_id"]),
         batch_format="pyarrow",
     )
-    ids = [r["conv_id"] for r in empties.take_all()]
-    ids.sort()
+    return sorted(r["conv_id"] for r in empties.take_all())
+
+
+def _empty_pairs_ds(toks_ds, cfg: PipelineConfig, ids: list | None = None):
+    """Pairs of empty-token records: jaccard(∅,∅)=1.0 (simfunc.cc:129-130)."""
+    if ids is None:
+        ids = empty_record_ids(toks_ds)
     if len(ids) > 2000:
         logger.warning("blocking: %d empty records; capping empty-pair expansion at 2000", len(ids))
         ids = ids[:2000]
@@ -487,14 +548,23 @@ def setsim_self_join(
     df_table=None,
     broadcast: bool | None = None,
     n_records: int | None = None,
+    df_ref=None,
+    verify_ref=None,
+    empty_ids: list | None = None,
 ) -> "ray.data.Dataset":
     """Threshold set-similarity self-join (jac/cos/dice >= δ, or overlap >= c).
 
     Output-equivalent to the reference's SetJoinParallel / OvlpSelfJoin
-    (setjoin_parallel.cc, ovlpjoin.cc) for the same (sim, threshold)."""
-    if df_table is None:
-        df_table = build_df_table(toks_ds)
-    df_ref = ray.put(df_table)
+    (setjoin_parallel.cc, ovlpjoin.cc) for the same (sim, threshold).
+
+    ``df_ref`` / ``verify_ref`` / ``empty_ids`` / ``n_records`` let several
+    rules over the same (attr, tok) share one df table, one broadcast verify
+    index, one empty-record scan and one count (hoisted into
+    pipelines.er.block — no redundant per-rule passes)."""
+    if df_ref is None:
+        if df_table is None:
+            df_table = build_df_table(toks_ds)
+        df_ref = ray.put(df_table)
     sigs = toks_ds.map_batches(
         _emit_signatures,
         fn_kwargs=dict(
@@ -522,9 +592,10 @@ def setsim_self_join(
         threshold=threshold,
         broadcast=broadcast,
         num_partitions=cfg.pair_partitions,
+        toks_ref=verify_ref,
     )
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
-        ep = _empty_pairs_ds(toks_ds, cfg)
+        ep = _empty_pairs_ds(toks_ds, cfg, ids=empty_ids)
         if ep is not None:
             verified = verified.union(ep)
     return verified

@@ -108,41 +108,138 @@ def _perms(n_perm: int, seed: int):
 
 def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
                    num_partitions, seed=42) -> pa.Table:
-    """Stateless minhash-band task (seeded permutations cached per worker)."""
-    class _S:
-        pass
+    """Stateless minhash-band task (seeded permutations cached per worker).
 
-    self = _S()
-    self.perm_a, self.perm_b = _perms(n_perm, seed)
-    self.id_col, self.text_col = id_col, text_col
-    self.tok, self.q = tok, q
-    self.n_bands = n_bands
-    self.rows_per_band = n_perm // n_bands
-    self.P = num_partitions
-    if True:
-        ids = np.asarray(t.column(self.id_col).to_numpy(zero_copy_only=False))
-        vals, offs = tokenize_array(t.column(self.text_col), self.tok, self.q)
-        sig = _minhash_batch(vals, offs, self.perm_a, self.perm_b)
-        n = ids.size
-        r = self.rows_per_band
-        bh = np.empty((n, self.n_bands), dtype=np.int64)
-        for b in range(self.n_bands):
-            seg = sig[:, b * r : (b + 1) * r]
-            h = np.full(n, 0xCBF29CE484222325, dtype=_U64)
-            for j in range(r):
-                h = (h ^ seg[:, j]) * _U64(0x100000001B3)
-            bh[:, b] = h.view(np.int64)
-        band_id = np.tile(np.arange(self.n_bands), n)
-        band_hash = bh.reshape(-1)
-        ids_r = np.repeat(ids, self.n_bands)
-        key = band_hash ^ (band_id * 0x9E3779B9)
-        return pa.table(
-            {
-                "pb": pa.array(bucket_of(key, self.P), pa.int32()),
-                "key": pa.array(key, pa.int64()),
-                "id": pa.array(ids_r),
-            }
+    Emits one row per (doc, band) carrying the doc's FULL band-hash vector
+    (``bh``, fixed_size_list<int64>[n_bands]) so the downstream pair
+    generator can apply the *first-agreeing-band* rule: a pair is emitted
+    only from the smallest band index where the two docs' band hashes agree.
+    Every candidate pair is therefore generated EXACTLY ONCE globally — no
+    cross-band duplicates, no global pair-dedup shuffle."""
+    perm_a, perm_b = _perms(n_perm, seed)
+    rows_per_band = n_perm // n_bands
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+    vals, offs = tokenize_array(t.column(text_col), tok, q)
+    sig = _minhash_batch(vals, offs, perm_a, perm_b)
+    n = ids.size
+    r = rows_per_band
+    bh = np.empty((n, n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        seg = sig[:, b * r : (b + 1) * r]
+        h = np.full(n, 0xCBF29CE484222325, dtype=_U64)
+        for j in range(r):
+            h = (h ^ seg[:, j]) * _U64(0x100000001B3)
+        bh[:, b] = h.view(np.int64)
+    band_id = np.tile(np.arange(n_bands), n).astype(np.int32)
+    band_hash = bh.reshape(-1)
+    ids_r = np.repeat(ids, n_bands)
+    key = band_hash ^ (band_id.astype(np.int64) * 0x9E3779B9)
+    bh_rep = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.repeat(bh, n_bands, axis=0).reshape(-1), pa.int64()), n_bands
+    )
+    return pa.table(
+        {
+            "pb": pa.array(bucket_of(key, num_partitions), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "band": pa.array(band_id, pa.int32()),
+            "id": pa.array(ids_r),
+            "bh": bh_rep,
+        }
+    )
+
+
+def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
+    """Within-bucket candidate pairs under the first-agreeing-band rule.
+
+    Rows are sorted by (key, band0-hash); inside a band-b>0 bucket only pairs
+    from DIFFERENT band-0 subgroups are enumerated at all — a pair agreeing
+    at band 0 is a duplicate by construction, and densely-similar clusters
+    (which agree at band 0 with prob s^r) therefore never re-enumerate their
+    quadratic pair space at bands 1..n-1.  Agreements at bands 1..b-1 are
+    then killed by a column-at-a-time check with compaction (no
+    (n_pairs, n_bands) matrix is ever materialized)."""
+    empty = pa.table({"id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64())})
+    key = np.asarray(t.column("key"), dtype=np.int64)
+    if key.size == 0:
+        return empty
+    band = np.asarray(t.column("band"), dtype=np.int64)
+    ids = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
+    bh_col = t.column("bh")
+    bh_col = bh_col.combine_chunks() if isinstance(bh_col, pa.ChunkedArray) else bh_col
+    n_bands = bh_col.type.list_size
+    bh = np.asarray(bh_col.flatten(), dtype=np.int64).reshape(-1, n_bands)
+
+    bh0 = bh[:, 0]
+    order = np.lexsort((bh0, key))
+    key, band, ids, bh = key[order], band[order], ids[order], bh[order]
+    bh0 = bh[:, 0]
+    starts, sizes = group_sizes_from_sorted(key)
+    if sizes.size and sizes.max() > max_bucket:
+        sizes_c = np.minimum(sizes, max_bucket)
+        logger.warning(
+            "minhash: truncating %d hot buckets (dropping %d rows, cap=%d)",
+            int((sizes > max_bucket).sum()), int((sizes - sizes_c).sum()), max_bucket,
         )
+        local = np.arange(key.size) - np.repeat(starts, sizes)
+        keep_mask = local < np.repeat(sizes_c, sizes)
+        key, band, ids, bh = key[keep_mask], band[keep_mask], ids[keep_mask], bh[keep_mask]
+        bh0 = bh[:, 0]
+        starts, sizes = group_sizes_from_sorted(key)
+
+    n = key.size
+    grp_start = np.repeat(starts, sizes)  # per-row: first row index of its bucket
+    is_b0 = band == 0
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+
+    # --- band-0 buckets: enumerate every within-bucket pair -----------------
+    b0_groups = is_b0[starts]  # a bucket is homogeneous in band
+    s0, z0 = starts[b0_groups], sizes[b0_groups]
+    ii0, jj0 = within_group_pairs(z0)
+    if ii0.size:
+        rel = np.concatenate(([0], np.cumsum(z0)[:-1]))
+        npg = z0 * (z0 - 1) // 2
+        g = np.repeat(np.arange(z0.size), npg)
+        shift = s0[g] - rel[g]
+        out_i.append(ii0 + shift)
+        out_j.append(jj0 + shift)
+
+    # --- band>0 buckets: cross-band0-subgroup pairs only --------------------
+    sub_change = np.ones(n, bool)
+    sub_change[1:] = (key[1:] != key[:-1]) | (bh0[1:] != bh0[:-1])
+    sub_start = np.maximum.accumulate(np.where(sub_change, np.arange(n), 0))
+    l2 = np.where(is_b0, 0, sub_start - grp_start)  # earlier-subgroup row count
+    total = int(l2.sum())
+    if total:
+        jj = np.repeat(np.arange(n), l2)
+        cum = np.concatenate(([0], np.cumsum(l2)[:-1]))
+        ii = np.arange(total) - np.repeat(cum, l2) + np.repeat(grp_start, l2)
+        # kill agreements at bands 1..b-1 (band 0 is structurally excluded)
+        keep = np.ones(total, bool)
+        b = band[jj]
+        alive = np.flatnonzero(b > 1)
+        for bprime in range(1, int(b.max()) if alive.size else 1):
+            need = alive[b[alive] > bprime]
+            if need.size == 0:
+                break
+            agree = bh[ii[need], bprime] == bh[jj[need], bprime]
+            keep[need[agree]] = False
+            alive = need[~agree]
+        out_i.append(ii[keep])
+        out_j.append(jj[keep])
+
+    if not out_i:
+        return empty
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    a, bb = ids[ii], ids[jj]
+    neq = a != bb  # guard: a cross-band key collision could self-pair a doc
+    a, bb = a[neq], bb[neq]
+    swap = a > bb
+    return pa.table(
+        {"id1": pa.array(np.where(swap, bb, a)), "id2": pa.array(np.where(swap, a, bb))}
+    )
 
 
 def _candidate_pairs_from_keys(df: pd.DataFrame, max_bucket: int = 2000) -> pd.DataFrame:
@@ -172,66 +269,42 @@ def _candidate_pairs_from_keys(df: pd.DataFrame, max_bucket: int = 2000) -> pd.D
     return pd.DataFrame({"id1": np.where(swap, b, a), "id2": np.where(swap, a, b)}).drop_duplicates()
 
 
-def _jaccard_verify(df: pd.DataFrame, *, toks_ref, threshold) -> pd.DataFrame:
-    """Exact token-set Jaccard on candidate doc pairs (broadcast token sets,
-    stateless task with per-worker cache)."""
-    class _S:
-        pass
-
-    self = _S()
-    self.index, self.vals, self.offs, self.m = get_broadcast(toks_ref)
-    self.threshold = threshold
-    if True:
-        from ..functions import sims as S
-        from .verify import gather_lists
-
-        if not len(df):
-            return pd.DataFrame({"id1": df.get("id1", pd.Series(dtype=object)),
-                                 "id2": df.get("id2", pd.Series(dtype=object)),
-                                 "sim": pd.Series(dtype=float)})
-        r1 = self.index.get_indexer(df["id1"])
-        r2 = self.index.get_indexer(df["id2"])
-        va, oa = gather_lists(self.vals, self.offs, r1)
-        vb, ob = gather_lists(self.vals, self.offs, r2)
-        ov = S.pair_overlap_labeled(va, oa, vb, ob, self.m)
-        sim = S.set_sims_from_overlap(ov, np.diff(oa), np.diff(ob), "jac")
-        keep = sim >= self.threshold
-        return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
-
-
 def minhash_lsh_dedup(
     docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", tok="alphanumeric",
-    q=3, threshold=0.5, n_perm=128, n_bands=32, num_partitions=32,
+    q=3, threshold=0.5, n_perm=128, n_bands=32, num_partitions=128,
+    broadcast_limit: int = 2_000_000, n_records: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard verify.
 
     Output pairs all satisfy jac >= threshold (precision exact); recall is
-    the LSH band probability (documented, not silent)."""
+    the LSH band probability (documented, not silent).  Candidates are
+    generated exactly once (first-agreeing-band rule), so there is no global
+    pair-dedup shuffle; verification joins candidates back to distributed
+    token sets via the broadcast-or-hash_join switch (scale-safe — no
+    full-corpus driver collect above ``broadcast_limit``)."""
     sigs = docs.map_batches(
         _minhash_bands,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, tok=tok, q=q,
                        n_perm=n_perm, n_bands=n_bands, num_partitions=num_partitions),
         batch_format="pyarrow",
     )
-    cands = (
-        sigs.groupby("pb")
-        .map_groups(lambda g: _candidate_pairs_from_keys(g.drop(columns=["pb"])), batch_format="pandas")
-    )
-    from .blocking import dedupe_pairs
+    cands = sigs.groupby("pb").map_groups(_minhash_pairgen, batch_format="pyarrow")
 
-    cands = dedupe_pairs(cands, num_partitions)
-    # broadcast token index for exact verification
-    from .verify import collect_arrow
+    # distributed tokenize for the verify side (same tokenizer as the bands)
+    def tok_table(t: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokens_list_array
 
-    tbl = collect_arrow(docs.select_columns([id_col, text_col]))
-    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    vals, offs = tokenize_array(tbl.column(text_col), tok, q)
-    uni = np.unique(vals)
-    labels = np.searchsorted(uni, vals).astype(np.int64)
-    ref = ray.put((pd.Index(ids), labels, offs, int(uni.size) + 1))
-    return cands.map_batches(
-        _jaccard_verify, fn_kwargs=dict(toks_ref=ref, threshold=threshold),
-        batch_format="pandas",
+        la = tokens_list_array(t.column(text_col), tok, q)
+        return pa.table({"conv_id": t.column(id_col), "toks": la})
+
+    toks_ds = docs.map_batches(tok_table, batch_format="pyarrow")
+    if n_records is None:
+        n_records = docs.count()
+    from .verify import verify_pairs
+
+    return verify_pairs(
+        cands, toks_ds, sim="jac", threshold=threshold,
+        broadcast=n_records <= broadcast_limit, num_partitions=num_partitions,
     )
 
 

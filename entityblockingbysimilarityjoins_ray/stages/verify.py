@@ -89,18 +89,17 @@ def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: fl
     r1 = index.get_indexer(ids1)
     r2 = index.get_indexer(ids2)
     ok = (r1 >= 0) & (r2 >= 0)
-    ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
+    r1, r2 = r1[ok], r2[ok]
     va, oa = gather_lists(vals, offs, r1)
     vb, ob = gather_lists(vals, offs, r2)
     s = _sim_batch(va, oa, vb, ob, sim, m)
     keep = s >= threshold
-    return pa.table(
-        {
-            "id1": pa.array(ids1[keep], type=pa.string()),
-            "id2": pa.array(ids2[keep], type=pa.string()),
-            "sim": pa.array(s[keep], type=pa.float64()),
-        }
-    )
+    mask = ok.copy()
+    mask[ok] = keep
+    # filter the original Arrow columns so id types (string / int64 / ...)
+    # pass through unchanged
+    out = batch.select(["id1", "id2"]).filter(pa.array(mask))
+    return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
 
 
 def _verify_joined(batch: pa.Table, sim: str, threshold: float) -> pa.Table:
@@ -131,10 +130,14 @@ def verify_pairs(
     broadcast: bool = True,
     num_partitions: int = 64,
     concurrency=None,
+    toks_ref=None,
 ) -> "ray.data.Dataset":
-    """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold."""
+    """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold.
+
+    ``toks_ref`` may carry a pre-built ``ray.put(collect_token_index(...))``
+    so several rules over the same tokenization share ONE broadcast index."""
     if broadcast:
-        ref = ray.put(collect_token_index(toks_ds))
+        ref = toks_ref if toks_ref is not None else ray.put(collect_token_index(toks_ds))
         return pairs_ds.map_batches(
             broadcast_verify_batch,
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
