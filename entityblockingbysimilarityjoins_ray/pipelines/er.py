@@ -127,10 +127,28 @@ def union_rules(
 def block(
     docs: "ray.data.Dataset", cfg: PipelineConfig
 ) -> "ray.data.Dataset":
-    """All configured rules -> unioned candidate pairs."""
+    """All configured rules -> unioned candidate pairs.
+
+    With ``cfg.topk`` set, the union is capped to the top-K pairs by blended
+    4-sim score — the reference's post-union output-size budget
+    (block_main.cc:79-118, TA semantics)."""
     shared = _SetsimShared(docs, cfg)
     per_rule = [run_rule(docs, r, cfg, shared) for r in cfg.rules]
-    return union_rules(per_rule, cfg)
+    unioned = union_rules(per_rule, cfg)
+    if cfg.topk is None:
+        return unioned
+    from ..stages.topk import blended_score_pairs, topk_pairs
+
+    # score on the first setsim rule's tokenization (reference topKattr),
+    # falling back to the default dlm tokenization of the first rule's attr
+    first = next((r for r in cfg.rules if r.sim in ("jac", "cos", "dice", "overlap")),
+                 cfg.rules[0])
+    st = shared.get(first.attr, first.tok if first.tok != "none" else "dlm", first.q)
+    scored = blended_score_pairs(unioned, st["toks"], toks_ref=st["verify_ref"])
+    top = topk_pairs(scored, cfg.topk)
+    import ray.data as _rd
+
+    return _rd.from_pandas(top)
 
 
 def run_pipeline(

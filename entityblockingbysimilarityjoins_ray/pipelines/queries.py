@@ -244,55 +244,127 @@ un AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
 SELECT id1, id2, count(*)::BIGINT AS passed_rules FROM un GROUP BY id1, id2"""
 
 
+# --- RS (two-table A x B) blocking queries ---------------------------------
+# A = conv suffix % 8 == 0, B = conv suffix % 8 == 1 (disjoint tables)
+
+_SUBSET_A = f"(CAST(substr(conv_id, 5) AS INTEGER) % {SUBSET_MOD}) = 0"
+_SUBSET_B = f"(CAST(substr(conv_id, 5) AS INTEGER) % {SUBSET_MOD}) = 1"
+
+_RS_CTES = (
+    f"suba AS (SELECT * FROM docs WHERE {_SUBSET_A}), "
+    f"subb AS (SELECT * FROM docs WHERE {_SUBSET_B}), "
+    "toksa AS (SELECT conv_id, unnest(list_distinct(list_filter("
+    f"string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM suba), "
+    "toksb AS (SELECT conv_id, unnest(list_distinct(list_filter("
+    f"string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM subb), "
+    "sizesa AS (SELECT conv_id, count(*)::BIGINT AS l FROM toksa GROUP BY conv_id), "
+    "sizesb AS (SELECT conv_id, count(*)::BIGINT AS l FROM toksb GROUP BY conv_id), "
+    "interrs AS (SELECT a.conv_id AS id1, b.conv_id AS id2, count(*)::BIGINT AS o "
+    "FROM toksa a JOIN toksb b ON a.tok = b.tok GROUP BY 1, 2), "
+    "pairsrs AS (SELECT i.id1, i.id2, i.o, sa.l AS la, sb.l AS lb FROM interrs i "
+    "JOIN sizesa sa ON i.id1 = sa.conv_id JOIN sizesb sb ON i.id2 = sb.conv_id)"
+)
+
+
+def _rs_mod_filter(ds, rem: int):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 4, 99), pa.int64()))
+        return t.filter(pa.array(n % SUBSET_MOD == rem))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _rs_docs(sf_dir: str):
+    t = _fixture_transcripts(sf_dir)
+    d = canonicalize(t, num_buckets=32).materialize()
+    return _rs_mod_filter(d, 0).materialize(), _rs_mod_filter(d, 1).materialize()
+
+
+def _rs_setsim(sf_dir: str, sim: str, threshold):
+    a, b = _rs_docs(sf_dir)
+    toks_a = B.tokenize_docs(a, "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(b, "doc", "dlm").materialize()
+    return B.setsim_rs_join(toks_a, toks_b, sim=sim, threshold=threshold, cfg=_cfg())
+
+
+def q_block_jac_rs(sf_dir: str):
+    return _rs_setsim(sf_dir, "jac", 0.5)
+
+
+SQL_BLOCK_JAC_RS = f"""WITH {_DOCS_CTE}, {_RS_CTES}
+SELECT id1, id2, o * 1.0 / (la + lb - o) AS sim FROM pairsrs
+WHERE o * 1.0 / (la + lb - o) >= 0.5"""
+
+
+def q_block_overlap_rs(sf_dir: str):
+    return _rs_setsim(sf_dir, "overlap", 8)
+
+
+SQL_BLOCK_OVERLAP_RS = f"""WITH {_DOCS_CTE}, {_RS_CTES}
+SELECT id1, id2, o * 1.0 AS sim FROM pairsrs WHERE o >= 8"""
+
+
+def q_block_exm_rs(sf_dir: str):
+    a, b = _rs_docs(sf_dir)
+    return B.exact_rs_join(a, b, "head", _cfg()).select_columns(["id1", "id2"])
+
+
+SQL_BLOCK_EXM_RS = f"""WITH {_DOCS_CTE},
+suba AS (SELECT * FROM docs WHERE {_SUBSET_A}),
+subb AS (SELECT * FROM docs WHERE {_SUBSET_B})
+SELECT a.conv_id AS id1, b.conv_id AS id2 FROM suba a JOIN subb b ON a.head = b.head"""
+
+
+def q_block_anm_rs(sf_dir: str):
+    a, b = _rs_docs(sf_dir)
+    return B.anm_rs_join(a, b, "n_turns", 0.8, _cfg())
+
+
+SQL_BLOCK_ANM_RS = f"""WITH {_DOCS_CTE},
+suba AS (SELECT * FROM docs WHERE {_SUBSET_A}),
+subb AS (SELECT * FROM docs WHERE {_SUBSET_B})
+SELECT a.conv_id AS id1, b.conv_id AS id2,
+       CASE WHEN abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) <= 1e-5 THEN 1.0
+            ELSE 1.0 - abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) END AS sim
+FROM suba a JOIN subb b ON true
+WHERE (CASE WHEN abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) <= 1e-5 THEN 1.0
+            ELSE 1.0 - abs(a.n_turns - b.n_turns) * 1.0
+                 / greatest(a.n_turns, b.n_turns) END) >= 0.8"""
+
+
+def q_block_lev_rs(sf_dir: str):
+    from ..stages.editjoin import edit_rs_join
+
+    a, b = _rs_docs(sf_dir)
+    return edit_rs_join(a, b, "head", 2, _cfg())
+
+
+SQL_BLOCK_LEV_RS = f"""WITH {_DOCS_CTE},
+suba AS (SELECT * FROM docs WHERE {_SUBSET_A}),
+subb AS (SELECT * FROM docs WHERE {_SUBSET_B})
+SELECT a.conv_id AS id1, b.conv_id AS id2,
+       levenshtein(a.head, b.head) * 1.0 AS sim
+FROM suba a JOIN subb b ON true
+WHERE levenshtein(a.head, b.head) <= 2"""
+
+
 def q_topk_blended(sf_dir: str):
     """Top-50 pairs by blended 4-sim score (TA top-k semantics,
-    topk.cc:60-94 + 539-649: output-size cap with deterministic ties)."""
+    topk.cc:60-94 + 539-649: output-size cap with deterministic ties) —
+    per-block partial heaps + tiny driver merge, never a full driver sort."""
+    from ..stages.topk import blended_score_pairs, topk_pairs
+
     d = _docs(sf_dir, subset=True)
     toks = B.tokenize_docs(d, "doc", "dlm").materialize()
     cfg = _cfg()
     pairs = B.setsim_self_join(toks, sim="overlap", threshold=1, cfg=cfg)
-
-    from ..functions import sims as S
-    from ..stages.verify import collect_token_index, gather_lists
-
-    from ..functions.hashing import get_broadcast
-
-    ref = ray.put(collect_token_index(toks))
-
-    def score_fn(t: pa.Table) -> pa.Table:
-        class _S:
-            pass
-
-        self = _S()
-        self.index, self.vals, self.offs, self.m = get_broadcast(ref)
-        if True:
-            if t.num_rows == 0:
-                return pa.table({"id1": pa.array([], pa.string()),
-                                 "id2": pa.array([], pa.string()),
-                                 "score": pa.array([], pa.float64())})
-            ids1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-            ids2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
-            r1 = self.index.get_indexer(ids1)
-            r2 = self.index.get_indexer(ids2)
-            va, oa = gather_lists(self.vals, self.offs, r1)
-            vb, ob = gather_lists(self.vals, self.offs, r2)
-            o = S.pair_overlap_labeled(va, oa, vb, ob, self.m).astype(np.float64)
-            la = np.diff(oa).astype(np.float64)
-            lb = np.diff(ob).astype(np.float64)
-            # same expression order as the SQL oracle (left-assoc adds)
-            score = o / (la + lb - o)
-            score = score + o / np.sqrt(la * lb)
-            score = score + 2.0 * o / (la + lb)
-            score = score + o / np.minimum(la, lb)
-            return pa.table({"id1": pa.array(ids1, pa.string()),
-                             "id2": pa.array(ids2, pa.string()),
-                             "score": pa.array(score, pa.float64())})
-
-    scored = pairs.map_batches(score_fn, batch_format="pyarrow")
-    top = scored.to_pandas().sort_values(
-        ["score", "id1", "id2"], ascending=[False, True, True], kind="stable"
-    ).head(50)
-    return top.reset_index(drop=True)
+    scored = blended_score_pairs(pairs, toks)
+    return topk_pairs(scored, 50)
 
 
 SQL_TOPK_BLENDED = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS}
@@ -612,6 +684,11 @@ QUERIES = {
     "block_anm_turns": q_block_anm_turns,
     "block_lev_head": q_block_lev_head,
     "block_rules_union": q_block_rules_union,
+    "block_jac_rs": q_block_jac_rs,
+    "block_overlap_rs": q_block_overlap_rs,
+    "block_exm_rs": q_block_exm_rs,
+    "block_anm_rs": q_block_anm_rs,
+    "block_lev_rs": q_block_lev_rs,
     "topk_blended": q_topk_blended,
     "cluster_jac": q_cluster_jac,
     "megallen_wide": q_megallen_wide,
@@ -639,6 +716,11 @@ ORACLES = {
     "block_anm_turns": SQL_BLOCK_ANM,
     "block_lev_head": SQL_BLOCK_LEV,
     "block_rules_union": SQL_BLOCK_RULES_UNION,
+    "block_jac_rs": SQL_BLOCK_JAC_RS,
+    "block_overlap_rs": SQL_BLOCK_OVERLAP_RS,
+    "block_exm_rs": SQL_BLOCK_EXM_RS,
+    "block_anm_rs": SQL_BLOCK_ANM_RS,
+    "block_lev_rs": SQL_BLOCK_LEV_RS,
     "topk_blended": SQL_TOPK_BLENDED,
     "cluster_jac": SQL_CLUSTER_JAC,
     "megallen_wide": SQL_MEGALLEN_WIDE,

@@ -190,6 +190,7 @@ def _emit_signatures(
     pair_partitions: int,
     salt_df_threshold: int,
     salt_factor: int,
+    rs_side: int | None = None,
 ) -> pa.Table:
     """Emit (tok, cell, side, id, tlen) prefix-signature rows per record.
 
@@ -197,7 +198,14 @@ def _emit_signatures(
     object store once per worker process (zero-copy plasma read) via
     get_broadcast — no actor pool, so no min-actor CPU reservation that
     could starve the streaming executor when several rules execute in one
-    unioned plan."""
+    unioned plan.
+
+    ``rs_side``: None for a self-join (triangle salting); 0 / 1 for the
+    A / B side of an RS (two-table) join (reference RSJoin,
+    stringjoin_parallel.h:487-488; simjoin_blocker.cc:180-378) — hot tokens
+    are then GRID-salted: the A record picks shard u and replicates across
+    cells (u, v) for all v, the B record picks v and replicates across all
+    u, so each (u, v) cell holds exactly one slice of the A x B space."""
     class _S:  # keep the original attribute names for the body below
         pass
 
@@ -234,13 +242,15 @@ def _emit_signatures(
         pos_e = pos[keep].astype(np.int32)
         df_e = dfs_o[keep]
 
-        # salting: records under a hot token replicate across triangle cells
+        # salting: records under a hot token replicate across cells
         idh = hash_strings(ids)
         u_of = bucket_of(idh, max(self.s, 1))
         hot = df_e > self.salt_df
+        base_side = np.int8(0 if rs_side in (None, 0) else 1)
         cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
         cells = [(cold_tok, cold_row, cold_pos,
-                  np.zeros(cold_tok.size, np.int32), np.zeros(cold_tok.size, np.int8))]
+                  np.zeros(cold_tok.size, np.int32),
+                  np.full(cold_tok.size, base_side, np.int8))]
         if hot.any() and self.s > 1:
             ht, hr, hp = tok_e[hot], row_e[hot], pos_e[hot]
             s = self.s
@@ -249,11 +259,21 @@ def _emit_signatures(
             hp_r = np.repeat(hp, s)
             v = np.tile(np.arange(s, dtype=np.int64), ht.size)
             u = u_of[hr_r]
-            i = np.minimum(u, v)
-            j = np.maximum(u, v)
-            cell = (i * s + j + 1).astype(np.int32)
-            side = np.where(u <= v, 0, 1).astype(np.int8)
-            side = np.where(u == v, 0, side).astype(np.int8)
+            if rs_side is None:
+                # triangle replication (self-join)
+                i = np.minimum(u, v)
+                j = np.maximum(u, v)
+                cell = (i * s + j + 1).astype(np.int32)
+                side = np.where(u <= v, 0, 1).astype(np.int8)
+                side = np.where(u == v, 0, side).astype(np.int8)
+            elif rs_side == 0:
+                # A side: own shard u, replicate across partner shards v
+                cell = (u * s + v + 1).astype(np.int32)
+                side = np.zeros(ht_r.size, np.int8)
+            else:
+                # B side: own shard v(=u_of), replicate across partner shards u
+                cell = (v * s + u + 1).astype(np.int32)
+                side = np.ones(ht_r.size, np.int8)
             cells.append((ht_r, hr_r, hp_r, cell, side))
         tok_all = np.concatenate([c[0] for c in cells])
         row_all = np.concatenate([c[1] for c in cells])
@@ -317,7 +337,7 @@ def _pair_range_triangle(sizes, cum, p_lo, p_hi):
 
 def _pairgen_bucket(
     t: pa.Table, *, sim: str, threshold: float, alpha: float | None,
-    max_group_size: int | None, chunk_pairs: int = 4_000_000,
+    max_group_size: int | None, chunk_pairs: int = 4_000_000, rs: bool = False,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -394,21 +414,24 @@ def _pairgen_bucket(
             mask &= lo >= alpha * hi - _EPS
         T = pair_min_overlap(sim, threshold, la, lb)
         mask &= 1.0 + np.minimum(remain[ii], remain[jj]) >= T
-        mask &= idh[ii] != idh[jj]  # self-pairs (id-hash equality == id equality)
+        if not rs:
+            mask &= idh[ii] != idh[jj]  # self-pairs (64-bit id-hash dedup)
         out1.append(ii[mask])
         out2.append(jj[mask])
 
-    # triangle groups (unsalted + self-cells), chunked pair-range decode
+    # triangle groups (unsalted + self-cells), chunked pair-range decode.
+    # RS mode: a single-side group has no cross pairs — skip entirely.
     tri = nb == 0
-    sizes_tri = na[tri]
-    starts_tri = starts[tri]
-    npairs_tri = sizes_tri * (sizes_tri - 1) // 2
-    cum_tri = np.cumsum(npairs_tri)
-    total_tri = int(cum_tri[-1]) if cum_tri.size else 0
-    for p0 in range(0, total_tri, chunk_pairs):
-        p1 = min(p0 + chunk_pairs, total_tri)
-        grp, i, j = _pair_range_triangle(sizes_tri, cum_tri, p0, p1)
-        emit(starts_tri[grp] + i, starts_tri[grp] + j)
+    if not rs:
+        sizes_tri = na[tri]
+        starts_tri = starts[tri]
+        npairs_tri = sizes_tri * (sizes_tri - 1) // 2
+        cum_tri = np.cumsum(npairs_tri)
+        total_tri = int(cum_tri[-1]) if cum_tri.size else 0
+        for p0 in range(0, total_tri, chunk_pairs):
+            p1 = min(p0 + chunk_pairs, total_tri)
+            grp, i, j = _pair_range_triangle(sizes_tri, cum_tri, p0, p1)
+            emit(starts_tri[grp] + i, starts_tri[grp] + j)
 
     # bipartite groups (salted cross cells), chunked
     cross = ~tri
@@ -436,8 +459,11 @@ def _pairgen_bucket(
     # for the survivors.  exact verify recomputes overlap from full sets, so
     # multiplicity carries no information.
     h1, h2 = idh[ii], idh[jj]
-    k1 = np.minimum(h1, h2)
-    k2 = np.maximum(h1, h2)
+    if rs:
+        k1, k2 = h1, h2  # sides are distinct tables — keep (A, B) order
+    else:
+        k1 = np.minimum(h1, h2)
+        k2 = np.maximum(h1, h2)
     order2 = np.lexsort((k2, k1))
     k1s, k2s = k1[order2], k2[order2]
     first = np.ones(k1s.size, bool)
@@ -445,10 +471,15 @@ def _pairgen_bucket(
     keep_idx = order2[first]
     a_ids = ids[ii[keep_idx]].astype("U")
     b_ids = ids[jj[keep_idx]].astype("U")
-    swap = a_ids > b_ids
+    if rs:
+        id1, id2 = a_ids, b_ids
+    else:
+        swap = a_ids > b_ids
+        id1 = np.where(swap, b_ids, a_ids)
+        id2 = np.where(swap, a_ids, b_ids)
     return pa.table(
-        {"id1": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
-         "id2": pa.array(np.where(swap, a_ids, b_ids), pa.string()),
+        {"id1": pa.array(id1, pa.string()),
+         "id2": pa.array(id2, pa.string()),
          "k1": pa.array(k1s[first], pa.int64()),
          "k2": pa.array(k2s[first], pa.int64())}
     )
@@ -719,3 +750,178 @@ def anm_self_join(
         .groupby("pb")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# RS (two-table A x B) joins — the reference's primary record-linkage mode
+# (simjoin_blocker.cc:180-378; stringjoin_parallel.h:487-488 RSJoin)
+# ---------------------------------------------------------------------------
+
+
+def setsim_rs_join(
+    toks_a: "ray.data.Dataset",
+    toks_b: "ray.data.Dataset",
+    *,
+    sim: str,
+    threshold: float,
+    cfg: PipelineConfig,
+    df_table=None,
+    broadcast: bool | None = None,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Threshold set-similarity RS join: pairs (a in A, b in B) with
+    sim(a, b) >= threshold; output {id1(A), id2(B), sim} — no pair
+    canonicalization across tables (reference RS semantics,
+    simjoin_blocker.cc:180-378).
+
+    The df table spans A ∪ B (the reference's combined dictionary,
+    RStableAttr2IntVector tokenizer.cc:240-411), so both sides order their
+    prefixes by the same global rarity."""
+    if df_table is None:
+        df_table = build_df_table(toks_a.union(toks_b))
+    df_ref = ray.put(df_table)
+    common = dict(
+        df_ref=df_ref, sim=sim, threshold=threshold,
+        pair_partitions=cfg.pair_partitions,
+        salt_df_threshold=cfg.salt_df_threshold, salt_factor=cfg.salt_factor,
+    )
+    sigs_a = toks_a.map_batches(
+        _emit_signatures, fn_kwargs=dict(common, rs_side=0), batch_format="pyarrow"
+    )
+    sigs_b = toks_b.map_batches(
+        _emit_signatures, fn_kwargs=dict(common, rs_side=1), batch_format="pyarrow"
+    )
+    candidates = sigs_a.union(sigs_b).groupby("pb").map_groups(
+        _pairgen_bucket,
+        fn_kwargs={"sim": sim, "threshold": threshold,
+                   "alpha": length_ratio(sim, threshold),
+                   "max_group_size": cfg.max_group_size, "rs": True},
+        batch_format="pyarrow",
+    )
+    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    if broadcast is None:
+        n_records = n_records if n_records is not None else toks_a.count() + toks_b.count()
+        broadcast = n_records <= cfg.broadcast_limit
+    from .verify import verify_pairs_rs
+
+    verified = verify_pairs_rs(
+        candidates, toks_a, toks_b, sim=sim, threshold=threshold,
+        broadcast=broadcast, num_partitions=cfg.pair_partitions,
+    )
+    if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
+        ea = empty_record_ids(toks_a)
+        eb = empty_record_ids(toks_b)
+        if len(ea) > 1000 or len(eb) > 1000:
+            logger.warning("rs blocking: %dx%d empty records; capping at 1000 each",
+                           len(ea), len(eb))
+            ea, eb = ea[:1000], eb[:1000]
+        rows = [{"id1": a, "id2": b, "sim": 1.0} for a in ea for b in eb]
+        if rows:
+            verified = verified.union(ray.data.from_items(rows))
+    return verified
+
+
+def exact_rs_join(
+    docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset", attr: str, cfg: PipelineConfig
+) -> "ray.data.Dataset":
+    """Equality RS join on an attribute (reference ExactJoin RS,
+    stringjoin_parallel.h:495-599): hash-bucket on value hash, A x B pairs
+    within equal values; sim = 1.0."""
+
+    def sig(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            vals = df[attr].fillna("").to_numpy(object)
+            h = hash_strings(vals)
+            return pd.DataFrame(
+                {"pb": bucket_of(h, cfg.pair_partitions), "vh": h,
+                 "side": np.int8(side), "id": df["conv_id"].astype(str), "val": vals}
+            )
+
+        return f
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vh = df["vh"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int8)
+        ids = df["id"].to_numpy().astype("U")
+        vals = df["val"].to_numpy(object)
+        order = np.lexsort((side, vh))
+        vh, side, ids, vals = vh[order], side[order], ids[order], vals[order]
+        starts, sizes = group_sizes_from_sorted(vh)
+        run_id = np.repeat(np.arange(sizes.size), sizes)
+        na = np.zeros(sizes.size, np.int64)
+        np.add.at(na, run_id[side == 0], 1)
+        nb = sizes - na
+        ii, jj = bipartite_pairs(starts, na, starts + na, nb)
+        if ii.size:
+            vals_u = np.asarray(vals, dtype="U")
+            eq = vals_u[ii] == vals_u[jj]  # u64-collision guard
+            ii, jj = ii[eq], jj[eq]
+        return pd.DataFrame({"id1": ids[ii], "id2": ids[jj], "sim": 1.0})
+
+    sigs = docs_a.map_batches(sig(0), batch_format="pandas").union(
+        docs_b.map_batches(sig(1), batch_format="pandas")
+    )
+    out = sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
+    return dedupe_pairs(out, cfg.pair_partitions)
+
+
+def anm_rs_join(
+    docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset", attr: str,
+    threshold: float, cfg: PipelineConfig,
+) -> "ray.data.Dataset":
+    """absoluteNorm RS join (reference simjoin_blocker.cc:324-367 semantics,
+    full pair set — we do not replicate its top-K-truncation quirk).
+    A emits to log-buckets {b-1, b, b+1}; B emits to its own bucket only, so
+    every in-band (a, b) pair meets in exactly one bucket."""
+    assert 0.0 < threshold < 1.0
+    w = -np.log(threshold)
+
+    def sig(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(df[attr], errors="coerce").to_numpy(np.float64)
+            ids = df["conv_id"].astype(str).to_numpy(object)
+            ok = ~np.isnan(v) & (np.abs(v) >= 1e-5)
+            v, ids = v[ok], ids[ok]
+            sign = np.sign(v).astype(np.int64)
+            b = np.floor(np.log(np.abs(v)) / w).astype(np.int64)
+            shifts = (-1, 0, 1) if side == 0 else (0,)
+            out = [pd.DataFrame({"bk": (b + sh) * 2 + (sign > 0),
+                                 "side": np.int8(side), "id": ids, "v": v})
+                   for sh in shifts]
+            res = pd.concat(out, ignore_index=True)
+            res["pb"] = bucket_of(res["bk"].to_numpy(np.int64), cfg.pair_partitions)
+            return res
+
+        return f
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2, outs = [], [], []
+        for _, g in df.groupby("bk", sort=False):
+            side = g["side"].to_numpy(np.int8)
+            ids = g["id"].to_numpy().astype("U")
+            v = g["v"].to_numpy(np.float64)
+            a_idx = np.flatnonzero(side == 0)
+            b_idx = np.flatnonzero(side == 1)
+            if a_idx.size == 0 or b_idx.size == 0:
+                continue
+            ii = np.repeat(a_idx, b_idx.size)
+            jj = np.tile(b_idx, a_idx.size)
+            d1, d2 = v[ii], v[jj]
+            maxv = np.maximum(np.abs(d1), np.abs(d2))
+            rel = np.abs(d1 - d2) / maxv
+            s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
+            ok = s >= threshold
+            out1.append(ids[ii][ok])
+            out2.append(ids[jj][ok])
+            outs.append(s[ok])
+        if not out1:
+            return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str),
+                                 "sim": pd.Series(dtype=float)})
+        return pd.DataFrame({"id1": np.concatenate(out1), "id2": np.concatenate(out2),
+                             "sim": np.concatenate(outs)})
+
+    sigs = docs_a.map_batches(sig(0), batch_format="pandas").union(
+        docs_b.map_batches(sig(1), batch_format="pandas")
+    )
+    out = sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
+    return dedupe_pairs(out, cfg.pair_partitions)

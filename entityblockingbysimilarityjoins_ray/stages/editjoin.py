@@ -1,22 +1,25 @@
-"""Edit-distance self-join: lev(s1, s2) <= D.
+"""Edit-distance joins: lev(s1, s2) <= D (self and RS).
 
 Distributed PassJoin (Li et al., VLDB'11) — same candidate scheme as the
 reference's StringJoin (/root/reference/cpp/common/stringjoin.{h,cc}: strings
 partitioned into D+1 segments, inverted lists keyed by (length, segment-id,
-segment-hash), candidates via substring selection, banded-DP verify) —
-re-expressed as a Ray Data shuffle:
+segment-hash), candidates via substring selection, banded-DP verify; RS
+variant stringjoin_parallel.h:487-488) — re-expressed as a Ray Data shuffle:
 
 - INDEX role: each string of length L emits its D+1 segments as keys
-  (L, seg_idx, segment).
-- PROBE role: each string s probes indexed lengths l in [|s|-D, |s|] by
-  emitting every substring of the matching segment length whose start
-  position lies within the +-D shift window of the segment's position
-  (the complete position window; the reference's tighter multi-match
-  selection is an optimization, not a semantic difference).
-- pairs form within identical keys (index-side x probe-side, bipartite),
-  so equal-length strings meet where l == |s| and shorter/longer pairs meet
-  at the shorter side's length — the pigeonhole guarantee of PassJoin.
-- verification = exact Levenshtein (DuckDB C kernel) <= D.
+  (L, seg_idx, segment-hash).
+- PROBE role: each string s emits every substring of the matching segment
+  length whose start position lies within the +-D shift window of the
+  segment's position (the complete position window; the reference's tighter
+  multi-match selection is an optimization, not a semantic difference).
+- pairs form within identical keys (index-side x probe-side, bipartite);
+  self-join additionally pairs index-index rows of equal length (triangle).
+- verification = exact Levenshtein <= D, via a broadcast value map under
+  ``broadcast_limit`` or two hash-partitioned joins above it (scale path).
+
+Signature hashing is vectorized: each length class becomes an (n, L) uint32
+codepoint matrix (numpy "U" view), and every (l, seg, shift) emission is one
+FNV pass over sl matrix columns — no per-row Python string slicing.
 
 Strings shorter than the segment count produce empty segments, which makes
 the scheme degrade gracefully into length-bucket all-pairs for very short
@@ -27,12 +30,17 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
 from ..functions import sims as S
-from ..functions.hashing import bipartite_pairs, bucket_of, hash_strings
+from ..functions.hashing import bipartite_pairs, bucket_of, get_broadcast
 from .blocking import dedupe_pairs
+
+_U64 = np.uint64
+_FNV_OFFSET = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
 
 
 def _segments(length: int, k: int) -> list[tuple[int, int]]:
@@ -50,79 +58,105 @@ def _segments(length: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
-class EditSignatureEmitter:
-    """Emit index/probe rows; vectorized per length-class within a batch."""
+def _codepoint_matrix(vals: np.ndarray, L: int) -> np.ndarray:
+    """(n, L) uint32 codepoint matrix for equal-length strings (vectorized
+    via numpy's fixed-width unicode memory layout, cf. tokenize._qgram_hashes)."""
+    n = vals.size
+    if L == 0:
+        return np.zeros((n, 0), np.uint32)
+    u = np.asarray(vals, dtype=f"U{L}")
+    return u.view(np.uint32).reshape(n, L)
 
-    def __init__(self, D: int, pair_partitions: int):
+
+def _span_hash(M: np.ndarray, st: int, sl: int) -> np.ndarray:
+    """FNV-1a over codepoint columns st..st+sl (one vectorized pass/row)."""
+    h = np.full(M.shape[0], _FNV_OFFSET, dtype=_U64)
+    for c in range(st, st + sl):
+        h = (h ^ M[:, c].astype(_U64)) * _FNV_PRIME
+    return h.view(np.int64)
+
+
+def _emission_specs(L: int, D: int, k: int, role: str) -> list[tuple[int, int, int, int]]:
+    """(l, seg_idx, start, seg_len) emissions for a length-L string.
+
+    role='index': own segments at their own positions.
+    role='probe_le': substrings for indexed lengths l in [L-D, L], skipping
+      the (l==L, st==p) emission that would duplicate the index row
+      (self-join: equal-length index-index pairs meet as a triangle).
+    role='probe_all': substrings for l in [L-D, L+D] including (l==L, st==p)
+      (RS probe side: the probe table emits no index rows)."""
+    out = []
+    if role == "index":
+        for i, (p, sl) in enumerate(_segments(L, k)):
+            out.append((L, i, p, sl))
+        return out
+    lo_l = max(0, L - D)
+    hi_l = L + D if role == "probe_all" else L
+    for l in range(lo_l, hi_l + 1):
+        for i, (p, sl) in enumerate(_segments(l, k)):
+            lo = max(0, p - D)
+            hi = min(L - sl, p + D)
+            for st in range(lo, hi + 1):
+                if role == "probe_le" and l == L and st == p:
+                    continue
+                out.append((l, i, st, sl))
+    return out
+
+
+class EditSignatureEmitter:
+    """Emit index/probe rows; vectorized per length-class within a batch.
+
+    ``mode``: 'self' (index + probe_le, sides 0/1), 'index' (RS table B,
+    side 0 only), 'probe' (RS table A, probe_all, side 1 only)."""
+
+    def __init__(self, D: int, pair_partitions: int, mode: str = "self"):
         self.D = D
         self.k = D + 1
         self.P = pair_partitions
-        self._seg_cache: dict[int, list[tuple[int, int]]] = {}
-
-    def _segs(self, length: int):
-        if length not in self._seg_cache:
-            self._seg_cache[length] = _segments(length, self.k)
-        return self._seg_cache[length]
+        self.mode = mode
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["conv_id"].astype(str).to_numpy(object)
         vals = batch["val"].fillna("").astype(str).to_numpy(object)
         lens = np.array([len(v) for v in vals], dtype=np.int64)
-        out_l, out_i, out_sub, out_id, out_side = [], [], [], [], []
-        # group rows by length so each (l, seg) emission is a vectorized slice
+        out_key, out_id, out_side, out_len = [], [], [], []
+        roles = {"self": (("index", 0), ("probe_le", 1)),
+                 "index": (("index", 0),),
+                 "probe": (("probe_all", 1),)}[self.mode]
         for L in np.unique(lens):
             rows = np.flatnonzero(lens == L)
             sub_ids = ids[rows]
-            sub_vals = vals[rows]
-            # INDEX role: own segments
-            for i, (p, sl) in enumerate(self._segs(int(L))):
-                out_l.append(np.full(rows.size, L))
-                out_i.append(np.full(rows.size, i))
-                out_sub.append(np.array([v[p : p + sl] for v in sub_vals], dtype=object))
-                out_id.append(sub_ids)
-                out_side.append(np.zeros(rows.size, np.int8))
-            # PROBE role: substrings for each indexed shorter/equal length
-            for l in range(max(0, int(L) - self.D), int(L) + 1):
-                for i, (p, sl) in enumerate(self._segs(l)):
-                    lo = max(0, p - self.D)
-                    hi = min(int(L) - sl, p + self.D)
-                    for st in range(lo, hi + 1):
-                        if l == L and st == p:
-                            continue  # identical to the index emission; skip dup
-                        out_l.append(np.full(rows.size, l))
-                        out_i.append(np.full(rows.size, i))
-                        out_sub.append(
-                            np.array([v[st : st + sl] for v in sub_vals], dtype=object)
-                        )
-                        out_id.append(sub_ids)
-                        out_side.append(np.ones(rows.size, np.int8))
-        if not out_l:
+            M = _codepoint_matrix(vals[rows], int(L))
+            for role, side in roles:
+                for l, i, st, sl in _emission_specs(int(L), self.D, self.k, role):
+                    if sl == 0:
+                        h = np.zeros(rows.size, np.int64)
+                    else:
+                        h = _span_hash(M, st, sl)
+                    key = h ^ (l * 1315423911 + i * 2654435761)
+                    out_key.append(key)
+                    out_id.append(sub_ids)
+                    out_side.append(np.full(rows.size, side, np.int8))
+                    out_len.append(np.full(rows.size, L, np.int64))
+        if not out_key:
             return pd.DataFrame(
                 {"pb": pd.Series(dtype=np.int32), "key": pd.Series(dtype=np.int64),
                  "side": pd.Series(dtype=np.int8), "id": pd.Series(dtype=str),
                  "slen": pd.Series(dtype=np.int64)}
             )
-        l_all = np.concatenate(out_l)
-        i_all = np.concatenate(out_i)
-        sub_all = np.concatenate(out_sub)
-        id_all = np.concatenate(out_id)
-        side_all = np.concatenate(out_side)
-        # own length travels with the row for the final length filter
-        lmap = pd.Series(lens, index=pd.Index(ids))
-        own_len = lmap.reindex(id_all).to_numpy(np.int64)
-        key = hash_strings(sub_all) ^ (l_all * 1315423911 + i_all * 2654435761)
+        key = np.concatenate(out_key)
         return pd.DataFrame(
             {
                 "pb": bucket_of(key, self.P).astype(np.int32),
                 "key": key,
-                "side": side_all,
-                "id": id_all,
-                "slen": own_len,
+                "side": np.concatenate(out_side),
+                "id": np.concatenate(out_id),
+                "slen": np.concatenate(out_len),
             }
         )
 
 
-def _edit_pairgen(df: pd.DataFrame, D: int) -> pd.DataFrame:
+def _edit_pairgen(df: pd.DataFrame, D: int, rs: bool = False) -> pd.DataFrame:
     key = df["key"].to_numpy(np.int64)
     side = df["side"].to_numpy(np.int8)
     ids = df["id"].to_numpy().astype("U")
@@ -136,23 +170,31 @@ def _edit_pairgen(df: pd.DataFrame, D: int) -> pd.DataFrame:
     na = np.zeros(sizes.size, np.int64)
     np.add.at(na, run_id[side == 0], 1)
     nb = sizes - na
-    # index-side x probe-side (bipartite); index-index pairs of equal length
-    # are also needed (both emitted identical index keys) -> triangle on side0
+    # index-side x probe-side (bipartite); self-join also needs index-index
+    # pairs of equal length (both emitted identical index keys) -> triangle
     from ..functions.hashing import within_group_pairs
 
-    i1, j1 = within_group_pairs(na)
-    if i1.size:
-        rel = np.concatenate(([0], np.cumsum(na)[:-1]))
-        npg = na * (na - 1) // 2
-        grp = np.repeat(np.arange(na.size), npg)
-        i1 = i1 + (starts[grp] - rel[grp])
-        j1 = j1 + (starts[grp] - rel[grp])
+    if rs:
+        i1 = j1 = np.empty(0, np.int64)
+    else:
+        i1, j1 = within_group_pairs(na)
+        if i1.size:
+            rel = np.concatenate(([0], np.cumsum(na)[:-1]))
+            npg = na * (na - 1) // 2
+            grp = np.repeat(np.arange(na.size), npg)
+            i1 = i1 + (starts[grp] - rel[grp])
+            j1 = j1 + (starts[grp] - rel[grp])
     i2, j2 = bipartite_pairs(starts, na, starts + na, nb)
     ii = np.concatenate((i1, i2))
     jj = np.concatenate((j1, j2))
     if ii.size == 0:
         return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str)})
-    mask = (ids[ii] != ids[jj]) & (np.abs(slen[ii] - slen[jj]) <= D)
+    mask = np.abs(slen[ii] - slen[jj]) <= D
+    if rs:
+        # side 0 = index table (B), side 1 = probe table (A): output (A, B)
+        a, b = ids[jj][mask], ids[ii][mask]
+        return pd.DataFrame({"id1": a, "id2": b})
+    mask &= ids[ii] != ids[jj]
     a, b = ids[ii][mask], ids[jj][mask]
     swap = a > b
     return pd.DataFrame({"id1": np.where(swap, b, a), "id2": np.where(swap, a, b)})
@@ -160,49 +202,104 @@ def _edit_pairgen(df: pd.DataFrame, D: int) -> pd.DataFrame:
 
 def _edit_verify(batch: pd.DataFrame, *, val_ref, D: int) -> pd.DataFrame:
     """Exact Levenshtein <= D on the candidate pairs (values broadcast,
-    stateless task with per-worker cache)."""
-    from ..functions.hashing import get_broadcast
-
-    class _S:
-        pass
-
-    self = _S()
-    self.vmap = get_broadcast(val_ref)  # pd.Series id -> value
-    self.D = D
-    if True:
-        if not len(batch):
-            return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str), "sim": pd.Series(dtype=float)})
-        a = self.vmap.reindex(batch["id1"]).to_numpy(object)
-        b = self.vmap.reindex(batch["id2"]).to_numpy(object)
-        d = S.lev_dist_batch(a, b)
-        keep = d <= self.D
-        out = batch.loc[keep, ["id1", "id2"]].copy()
-        out["sim"] = d[keep].astype(np.float64)
-        return out
+    stateless task with per-worker cache).  val_ref -> (vmap_a, vmap_b)."""
+    vmap_a, vmap_b = get_broadcast(val_ref)
+    if not len(batch):
+        return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str),
+                             "sim": pd.Series(dtype=float)})
+    a = vmap_a.reindex(batch["id1"]).to_numpy(object)
+    b = vmap_b.reindex(batch["id2"]).to_numpy(object)
+    d = S.lev_dist_batch(a, b)
+    keep = d <= D
+    out = batch.loc[keep, ["id1", "id2"]].copy()
+    out["sim"] = d[keep].astype(np.float64)
+    return out
 
 
-def edit_self_join(
-    docs: "ray.data.Dataset", attr: str, D: int, cfg: PipelineConfig
-) -> "ray.data.Dataset":
-    """All pairs with levenshtein(attr) <= D; sim column = the distance."""
+def _edit_verify_joined(batch: pa.Table, D: int) -> pa.Table:
+    a = np.asarray(batch.column("val1").to_numpy(zero_copy_only=False), dtype=object)
+    b = np.asarray(batch.column("val2").to_numpy(zero_copy_only=False), dtype=object)
+    d = S.lev_dist_batch(a, b)
+    keep = d <= D
+    out = batch.select(["id1", "id2"]).filter(pa.array(keep))
+    return out.append_column("sim", pa.array(d[keep].astype(np.float64), pa.float64()))
+
+
+def _collect_vmap(proj: "ray.data.Dataset") -> pd.Series:
+    from .verify import collect_arrow
+
+    tbl = collect_arrow(proj)
+    return pd.Series(
+        np.asarray(tbl.column("val").to_numpy(zero_copy_only=False), dtype=object),
+        index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
+    )
+
+
+def _edit_verify_stage(
+    candidates, proj_a, proj_b, D: int, cfg: PipelineConfig, n_records: int | None
+):
+    """Broadcast-or-join verification switch (mirrors verify_pairs)."""
     import ray
 
-    proj = docs.map_batches(
+    if n_records is None:
+        n_records = proj_a.count() + (0 if proj_b is proj_a else proj_b.count())
+    if n_records <= cfg.broadcast_limit:
+        vmap_a = _collect_vmap(proj_a)
+        vmap_b = vmap_a if proj_b is proj_a else _collect_vmap(proj_b)
+        ref = ray.put((vmap_a, vmap_b))
+        return candidates.map_batches(
+            _edit_verify, fn_kwargs=dict(val_ref=ref, D=D), batch_format="pandas",
+            batch_size=32768,
+        )
+    from .joins import hash_join
+    from .verify import _rename
+
+    t1 = _rename(proj_a, {"conv_id": "cid1", "val": "val1"})
+    t2 = _rename(proj_b, {"conv_id": "cid2", "val": "val2"})
+    j = hash_join(candidates.select_columns(["id1", "id2"]), t1,
+                  on="id1", right_on="cid1", num_partitions=cfg.pair_partitions)
+    j = hash_join(j, t2, on="id2", right_on="cid2", num_partitions=cfg.pair_partitions)
+    return j.map_batches(_edit_verify_joined, fn_kwargs={"D": D}, batch_format="pyarrow")
+
+
+def _proj(docs, attr):
+    return docs.map_batches(
         lambda df: pd.DataFrame({"conv_id": df["conv_id"].astype(str), "val": df[attr].fillna("")}),
         batch_format="pandas",
     )
-    sigs = proj.map_batches(
-        EditSignatureEmitter(D, cfg.pair_partitions),
-        batch_format="pandas",
-    )
+
+
+def edit_self_join(
+    docs: "ray.data.Dataset", attr: str, D: int, cfg: PipelineConfig,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """All pairs with levenshtein(attr) <= D; sim column = the distance."""
+    proj = _proj(docs, attr)
+    sigs = proj.map_batches(EditSignatureEmitter(D, cfg.pair_partitions), batch_format="pandas")
     candidates = sigs.groupby("pb").map_groups(
         _edit_pairgen, fn_kwargs={"D": D}, batch_format="pandas"
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    vals = proj.to_pandas()
-    vmap = pd.Series(vals["val"].to_numpy(object), index=pd.Index(vals["conv_id"]))
-    ref = ray.put(vmap)
-    return candidates.map_batches(
-        _edit_verify, fn_kwargs=dict(val_ref=ref, D=D), batch_format="pandas",
-        batch_size=32768,
+    return _edit_verify_stage(candidates, proj, proj, D, cfg, n_records)
+
+
+def edit_rs_join(
+    docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset", attr: str, D: int,
+    cfg: PipelineConfig, n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """RS edit join: pairs (a in A, b in B) with levenshtein <= D
+    (reference StringJoinParallel::RSJoin, stringjoin_parallel.h:487-488).
+    B is the index side (segments), A the probe side (substrings over
+    lengths [|a|-D, |a|+D])."""
+    proj_a = _proj(docs_a, attr)
+    proj_b = _proj(docs_b, attr)
+    sigs = proj_b.map_batches(
+        EditSignatureEmitter(D, cfg.pair_partitions, mode="index"), batch_format="pandas"
+    ).union(proj_a.map_batches(
+        EditSignatureEmitter(D, cfg.pair_partitions, mode="probe"), batch_format="pandas"
+    ))
+    candidates = sigs.groupby("pb").map_groups(
+        _edit_pairgen, fn_kwargs={"D": D, "rs": True}, batch_format="pandas"
     )
+    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    return _edit_verify_stage(candidates, proj_a, proj_b, D, cfg, n_records)

@@ -158,3 +158,77 @@ def verify_pairs(
     return joined.map_batches(
         _verify_joined, fn_kwargs={"sim": sim, "threshold": threshold}, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# RS (two-table) verification
+# ---------------------------------------------------------------------------
+
+
+def collect_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset"):
+    """Two-table broadcast index: both sides' token hashes relabeled into ONE
+    dense space so the fused-key kernel works across tables."""
+    ta = collect_arrow(toks_a.select_columns(["conv_id", "toks"]))
+    tb = collect_arrow(toks_b.select_columns(["conv_id", "toks"]))
+    ids_a = np.asarray(ta.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    ids_b = np.asarray(tb.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    va, oa = S.flatten_lists(ta.column("toks"))
+    vb, ob = S.flatten_lists(tb.column("toks"))
+    uni = np.unique(np.concatenate((va, vb)))
+    la = np.searchsorted(uni, va).astype(np.int64)
+    lb = np.searchsorted(uni, vb).astype(np.int64)
+    return (pd.Index(ids_a), la, oa, pd.Index(ids_b), lb, ob, int(uni.size) + 1)
+
+
+def broadcast_verify_rs_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
+    index_a, vals_a, offs_a, index_b, vals_b, offs_b, m = get_broadcast(toks_ref)
+    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    r1 = index_a.get_indexer(ids1)
+    r2 = index_b.get_indexer(ids2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    r1, r2 = r1[ok], r2[ok]
+    va, oa = gather_lists(vals_a, offs_a, r1)
+    vb, ob = gather_lists(vals_b, offs_b, r2)
+    s = _sim_batch(va, oa, vb, ob, sim, m)
+    keep = s >= threshold
+    mask = ok.copy()
+    mask[ok] = keep
+    out = batch.select(["id1", "id2"]).filter(pa.array(mask))
+    return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
+
+
+def verify_pairs_rs(
+    pairs_ds: "ray.data.Dataset",
+    toks_a: "ray.data.Dataset",
+    toks_b: "ray.data.Dataset",
+    *,
+    sim: str,
+    threshold: float,
+    broadcast: bool = True,
+    num_partitions: int = 64,
+    toks_ref=None,
+) -> "ray.data.Dataset":
+    """Exact-verify RS candidate pairs (id1 from A, id2 from B)."""
+    if broadcast:
+        ref = toks_ref if toks_ref is not None else ray.put(collect_token_index_rs(toks_a, toks_b))
+        return pairs_ds.map_batches(
+            broadcast_verify_rs_batch,
+            fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
+            batch_format="pyarrow",
+            batch_size=32768,
+        )
+    from .joins import hash_join
+
+    t1 = _rename(toks_a, {"conv_id": "cid1", "toks": "toks1"})
+    t2 = _rename(toks_b, {"conv_id": "cid2", "toks": "toks2"})
+    joined = hash_join(
+        pairs_ds.select_columns(["id1", "id2"]), t1,
+        on="id1", right_on="cid1", num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        joined, t2, on="id2", right_on="cid2", num_partitions=num_partitions
+    )
+    return joined.map_batches(
+        _verify_joined, fn_kwargs={"sim": sim, "threshold": threshold}, batch_format="pyarrow"
+    )

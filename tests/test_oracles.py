@@ -56,6 +56,8 @@ ORACLE_NAMES = [
     "cluster_jac", "megallen_wide", "dedup_exact_docs", "doc_fingerprint",
     "dedup_token_jac_docs", "ann_topk", "embed_dup_pairs", "text_stats",
     "lang_id", "events_window",
+    "block_jac_rs", "block_overlap_rs", "block_exm_rs", "block_anm_rs",
+    "block_lev_rs",
 ]
 
 
