@@ -244,6 +244,34 @@ un AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
 SELECT id1, id2, count(*)::BIGINT AS passed_rules FROM un GROUP BY id1, id2"""
 
 
+def q_block_jac_weighted(sf_dir: str):
+    """IDF-weighted jaccard self-join (the reference's isIdfWeighted path,
+    block_main.cc arg + simfunc.h:37-38): wordwt = log10(N/df), weighted
+    prefix filter, exact weighted verify.  Sims rounded to 9 decimals on
+    BOTH sides so float summation order cannot flip the hash compare."""
+    from ..stages.weighted import setsim_self_join_weighted
+
+    d = _docs(sf_dir, subset=True)
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    return setsim_self_join_weighted(toks, sim="jac", threshold=0.4, cfg=_cfg(), round_to=9)
+
+
+SQL_BLOCK_JAC_WEIGHTED = f"""WITH {_DOCS_CTE}, {_SUB_CTE},
+alltoks AS (SELECT conv_id, unnest(list_distinct(list_filter(
+  string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM sub),
+n AS (SELECT count(*)::DOUBLE AS nrec FROM sub),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM alltoks GROUP BY tok),
+tokw AS (SELECT a.conv_id, a.tok, log10((SELECT nrec FROM n) / d.df) AS w, d.df
+         FROM alltoks a JOIN dfs d ON a.tok = d.tok),
+recw AS (SELECT conv_id, sum(w) AS wrec FROM tokw GROUP BY conv_id),
+interw AS (SELECT a.conv_id AS id1, b.conv_id AS id2, sum(a.w) AS ow
+           FROM tokw a JOIN tokw b ON a.tok = b.tok AND a.conv_id < b.conv_id
+           GROUP BY 1, 2)
+SELECT i.id1, i.id2, round(i.ow / (ra.wrec + rb.wrec - i.ow), 9) AS sim
+FROM interw i JOIN recw ra ON i.id1 = ra.conv_id JOIN recw rb ON i.id2 = rb.conv_id
+WHERE round(i.ow / (ra.wrec + rb.wrec - i.ow), 9) >= 0.4"""
+
+
 # --- RS (two-table A x B) blocking queries ---------------------------------
 # A = conv suffix % 8 == 0, B = conv suffix % 8 == 1 (disjoint tables)
 
@@ -373,6 +401,15 @@ SELECT id1, id2,
        + 2.0 * o / (la + lb) + o * 1.0 / least(la, lb) AS score
 FROM pairsims
 ORDER BY score DESC, id1, id2 LIMIT 50"""
+
+
+def q_sample_down(sf_dir: str):
+    """Down-sampling training candidates (DownSampler::sample semantics;
+    rows-only: the sample is seeded-random by design, no SQL twin)."""
+    from ..stages.sampler import down_sample
+
+    d = _docs(sf_dir, subset=True).materialize()
+    return down_sample(d, attr="doc", n=400, y=20, cfg=_cfg())
 
 
 def q_cluster_jac(sf_dir: str):
@@ -684,12 +721,14 @@ QUERIES = {
     "block_anm_turns": q_block_anm_turns,
     "block_lev_head": q_block_lev_head,
     "block_rules_union": q_block_rules_union,
+    "block_jac_weighted": q_block_jac_weighted,
     "block_jac_rs": q_block_jac_rs,
     "block_overlap_rs": q_block_overlap_rs,
     "block_exm_rs": q_block_exm_rs,
     "block_anm_rs": q_block_anm_rs,
     "block_lev_rs": q_block_lev_rs,
     "topk_blended": q_topk_blended,
+    "sample_down": q_sample_down,
     "cluster_jac": q_cluster_jac,
     "megallen_wide": q_megallen_wide,
     "er_f1_report": q_er_f1_report,
@@ -716,6 +755,7 @@ ORACLES = {
     "block_anm_turns": SQL_BLOCK_ANM,
     "block_lev_head": SQL_BLOCK_LEV,
     "block_rules_union": SQL_BLOCK_RULES_UNION,
+    "block_jac_weighted": SQL_BLOCK_JAC_WEIGHTED,
     "block_jac_rs": SQL_BLOCK_JAC_RS,
     "block_overlap_rs": SQL_BLOCK_OVERLAP_RS,
     "block_exm_rs": SQL_BLOCK_EXM_RS,

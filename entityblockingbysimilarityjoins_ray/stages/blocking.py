@@ -337,7 +337,7 @@ def _pair_range_triangle(sizes, cum, p_lo, p_hi):
 
 def _pairgen_bucket(
     t: pa.Table, *, sim: str, threshold: float, alpha: float | None,
-    max_group_size: int | None, chunk_pairs: int = 4_000_000, rs: bool = False,
+    max_group_size: int | None, chunk_pairs: int = 262_144, rs: bool = False,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -474,7 +474,11 @@ def _pairgen_bucket(
     if rs:
         id1, id2 = a_ids, b_ids
     else:
-        swap = a_ids > b_ids
+        # HASH-ordered emission (id1 = the k1 record): the downstream dedupe
+        # buckets and sorts on k1, so verify batches see contiguous id1 runs
+        # (bitmap kernel locality); verify canonicalizes survivor ids
+        # lexicographically at the end.
+        swap = h1[keep_idx] > h2[keep_idx]
         id1 = np.where(swap, b_ids, a_ids)
         id2 = np.where(swap, a_ids, b_ids)
     return pa.table(
@@ -493,19 +497,21 @@ def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str 
 
     Pair identity is the canonicalized 64-bit id-hash pair (k1, k2) — carried
     from pair generation when present, derived otherwise — so the shuffle key
-    and the in-bucket sort never touch string columns."""
+    and the in-bucket sort never touch string columns.  Buckets key on k1
+    ALONE (one record's pairs co-locate and, after the in-bucket (k1, k2)
+    sort, form contiguous id1 runs — the locality the bitmap verify kernel
+    exploits); per-record pair counts are ~degree-bounded, so k1 skew is
+    mild."""
 
     def add_pb(t: pa.Table) -> pa.Table:
         if "k1" in t.column_names:
             k1 = np.asarray(t.column("k1"), dtype=np.int64)
-            k2 = np.asarray(t.column("k2"), dtype=np.int64)
         else:
             k1 = hash_strings(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object))
             k2 = hash_strings(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object))
             t = t.append_column("k1", pa.array(k1, pa.int64()))
             t = t.append_column("k2", pa.array(k2, pa.int64()))
-        mix = k1.view(_U64) * _U64(0x9E3779B97F4A7C15) ^ k2.view(_U64)
-        return t.append_column("pb", pa.array(bucket_of(mix, num_partitions), pa.int32()))
+        return t.append_column("pb", pa.array(bucket_of(k1, num_partitions), pa.int32()))
 
     def dd(t: pa.Table) -> pa.Table:
         k1 = np.asarray(t.column("k1"), dtype=np.int64)
@@ -624,6 +630,7 @@ def setsim_self_join(
         broadcast=broadcast,
         num_partitions=cfg.pair_partitions,
         toks_ref=verify_ref,
+        canonicalize_output=True,  # pairgen emits hash-ordered ids
     )
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
         ep = _empty_pairs_ds(toks_ds, cfg, ids=empty_ids)

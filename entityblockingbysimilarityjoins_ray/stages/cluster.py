@@ -214,21 +214,42 @@ def cluster_entities(
             pd.DataFrame({"conv_id": pd.Series(dtype=str), "entity_id": pd.Series(dtype=str)})
         )
 
-    # left-join all ids against labels; unlabeled nodes are their own entity
-    if labels is None:
-        labels = labels_ds.to_pandas() if labels_ds is not None else pd.DataFrame(
-            {"conv_id": pd.Series(dtype=str), "entity_id": pd.Series(dtype=str)}
-        )
-    from ..functions.hashing import get_broadcast
+    if labels is not None:
+        # driver branch: labels are provably small -> broadcast lookup
+        from ..functions.hashing import get_broadcast
 
-    lmap = pd.Series(labels["entity_id"].to_numpy(object), index=pd.Index(labels["conv_id"]))
-    ref = ray.put(lmap)
+        lmap = pd.Series(labels["entity_id"].to_numpy(object), index=pd.Index(labels["conv_id"]))
+        ref = ray.put(lmap)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        m = get_broadcast(ref)
-        ids = df["conv_id"].astype(str)
-        ent = m.reindex(ids).to_numpy(object)
-        ent = np.where(pd.isna(ent), ids.to_numpy(object), ent)
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            m = get_broadcast(ref)
+            ids = df["conv_id"].astype(str)
+            ent = m.reindex(ids).to_numpy(object)
+            ent = np.where(pd.isna(ent), ids.to_numpy(object), ent)
+            return pd.DataFrame({"conv_id": ids, "entity_id": ent})
+
+        return all_ids.map_batches(assign, batch_format="pandas")
+
+    # distributed branch: labels scale with node count — never collect them.
+    # LEFT hash_join all ids against the label table; unlabeled nodes
+    # (singletons) are their own entity.
+    from .joins import hash_join
+
+    lab = labels_ds.map_batches(
+        lambda df: pd.DataFrame({"cid": df["conv_id"].astype(str),
+                                 "entity_id": df["entity_id"].astype(str)}),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        all_ids.map_batches(lambda df: pd.DataFrame({"conv_id": df["conv_id"].astype(str)}),
+                            batch_format="pandas"),
+        lab, on="conv_id", right_on="cid", num_partitions=num_partitions, how="left",
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["conv_id"].to_numpy(object)
+        ent = df["entity_id"].to_numpy(object)
+        ent = np.where(pd.isna(ent), ids, ent)
         return pd.DataFrame({"conv_id": ids, "entity_id": ent})
 
-    return all_ids.map_batches(assign, batch_format="pandas")
+    return j.map_batches(fill, batch_format="pandas")

@@ -249,7 +249,7 @@ def _edit_verify_stage(
         ref = ray.put((vmap_a, vmap_b))
         return candidates.map_batches(
             _edit_verify, fn_kwargs=dict(val_ref=ref, D=D), batch_format="pandas",
-            batch_size=32768,
+            batch_size=8192,
         )
     from .joins import hash_join
     from .verify import _rename

@@ -205,7 +205,7 @@ def extract_features(
     docs: "ray.data.Dataset",
     specs=DEFAULT_FEATURES,
     *,
-    batch_size: int = 16384,
+    batch_size: int = 4096,
     broadcast: bool | None = None,
     broadcast_limit: int = 2_000_000,
     n_records: int | None = None,

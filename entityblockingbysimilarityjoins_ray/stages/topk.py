@@ -70,6 +70,8 @@ def blended_score_pairs(
         w.update(weights)
 
     def score_fn(t: pa.Table) -> pa.Table:
+        from .verify import overlap_auto
+
         index, vals, offs, m = get_broadcast(ref)
         if t.num_rows == 0:
             return pa.table({"id1": pa.array([], pa.string()),
@@ -81,11 +83,9 @@ def blended_score_pairs(
         r2 = index.get_indexer(ids2)
         ok = (r1 >= 0) & (r2 >= 0)
         r1, r2 = r1[ok], r2[ok]
-        va, oa = gather_lists(vals, offs, r1)
-        vb, ob = gather_lists(vals, offs, r2)
-        o = S.pair_overlap_labeled(va, oa, vb, ob, m).astype(np.float64)
-        la = np.diff(oa).astype(np.float64)
-        lb = np.diff(ob).astype(np.float64)
+        o = overlap_auto(vals, offs, m, r1, r2).astype(np.float64)
+        la = np.diff(offs)[r1].astype(np.float64)
+        lb = np.diff(offs)[r2].astype(np.float64)
         # same expression order as the SQL oracle (left-assoc adds);
         # empty-side pairs score 0 (they carry no ranking signal)
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -80,9 +80,32 @@ def _sim_batch(va, oa, vb, ob, sim: str, m: int | None = None) -> np.ndarray:
     return S.set_sims_from_overlap(ovlp, la, lb, sim)
 
 
-def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
+def overlap_auto_two(vals_a, offs_a, vals_b, offs_b, m, r1, r2) -> np.ndarray:
+    """Exact per-pair overlap over two (possibly identical) corpora, choosing
+    the fastest kernel: bitmap over id1 runs when the batch has run locality
+    (pairs bucketed/sorted by hash(id1) upstream), else fused-key search."""
+    vb, ob = gather_lists(vals_b, offs_b, r2)
+    ovlp = S.pair_overlap_bitmap_runs(vals_a, offs_a, m, r1, vb, ob)
+    if ovlp is None:
+        va, oa = gather_lists(vals_a, offs_a, r1)
+        ovlp = S.pair_overlap_labeled(va, oa, vb, ob, m)
+    return ovlp
+
+
+def overlap_auto(vals, offs, m, r1, r2) -> np.ndarray:
+    return overlap_auto_two(vals, offs, vals, offs, m, r1, r2)
+
+
+def broadcast_verify_batch(
+    batch: pa.Table, *, toks_ref, sim: str, threshold: float,
+    canonicalize_output: bool = False,
+) -> pa.Table:
     """Stateless verify task: token index fetched once per worker process
-    (get_broadcast; zero-copy plasma) — no actor-pool CPU reservation."""
+    (get_broadcast; zero-copy plasma) — no actor-pool CPU reservation.
+
+    ``canonicalize_output``: blocking self-joins emit HASH-ordered pairs for
+    shuffle/kernel locality; the survivors are swapped back to lexicographic
+    (id1 < id2) here."""
     index, vals, offs, m = get_broadcast(toks_ref)
     ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
     ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
@@ -90,23 +113,43 @@ def broadcast_verify_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: fl
     r2 = index.get_indexer(ids2)
     ok = (r1 >= 0) & (r2 >= 0)
     r1, r2 = r1[ok], r2[ok]
-    va, oa = gather_lists(vals, offs, r1)
-    vb, ob = gather_lists(vals, offs, r2)
-    s = _sim_batch(va, oa, vb, ob, sim, m)
+    ovlp = overlap_auto(vals, offs, m, r1, r2)
+    la = np.diff(offs)[r1]
+    lb = np.diff(offs)[r2]
+    s = ovlp.astype(np.float64) if sim == "overlap" else S.set_sims_from_overlap(ovlp, la, lb, sim)
     keep = s >= threshold
     mask = ok.copy()
     mask[ok] = keep
+    if canonicalize_output:
+        a = ids1[mask].astype("U")
+        b = ids2[mask].astype("U")
+        swap = a > b
+        return pa.table({
+            "id1": pa.array(np.where(swap, b, a), pa.string()),
+            "id2": pa.array(np.where(swap, a, b), pa.string()),
+            "sim": pa.array(s[keep], pa.float64()),
+        })
     # filter the original Arrow columns so id types (string / int64 / ...)
     # pass through unchanged
     out = batch.select(["id1", "id2"]).filter(pa.array(mask))
     return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
 
 
-def _verify_joined(batch: pa.Table, sim: str, threshold: float) -> pa.Table:
+def _verify_joined(batch: pa.Table, sim: str, threshold: float,
+                   canonicalize_output: bool = False) -> pa.Table:
     va, oa = S.flatten_lists(batch.column("toks1"))
     vb, ob = S.flatten_lists(batch.column("toks2"))
     s = _sim_batch(va, oa, vb, ob, sim)
     keep = s >= threshold
+    if canonicalize_output:
+        a = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)[keep].astype("U")
+        b = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)[keep].astype("U")
+        swap = a > b
+        return pa.table({
+            "id1": pa.array(np.where(swap, b, a), pa.string()),
+            "id2": pa.array(np.where(swap, a, b), pa.string()),
+            "sim": pa.array(s[keep], pa.float64()),
+        })
     out = batch.select(["id1", "id2"]).filter(pa.array(keep))
     return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
 
@@ -131,6 +174,7 @@ def verify_pairs(
     num_partitions: int = 64,
     concurrency=None,
     toks_ref=None,
+    canonicalize_output: bool = False,
 ) -> "ray.data.Dataset":
     """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold.
 
@@ -140,9 +184,12 @@ def verify_pairs(
         ref = toks_ref if toks_ref is not None else ray.put(collect_token_index(toks_ds))
         return pairs_ds.map_batches(
             broadcast_verify_batch,
-            fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
+            fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold,
+                           canonicalize_output=canonicalize_output),
             batch_format="pyarrow",
-            batch_size=32768,
+            # small batches keep the per-batch gather working set cache
+            # resident — 32k-pair batches measured 3-15x slower (bandwidth)
+            batch_size=2048,
         )
     from .joins import hash_join
 
@@ -156,7 +203,10 @@ def verify_pairs(
         joined, t2, on="id2", right_on="cid2", num_partitions=num_partitions
     )
     return joined.map_batches(
-        _verify_joined, fn_kwargs={"sim": sim, "threshold": threshold}, batch_format="pyarrow"
+        _verify_joined,
+        fn_kwargs={"sim": sim, "threshold": threshold,
+                   "canonicalize_output": canonicalize_output},
+        batch_format="pyarrow",
     )
 
 
@@ -188,9 +238,10 @@ def broadcast_verify_rs_batch(batch: pa.Table, *, toks_ref, sim: str, threshold:
     r2 = index_b.get_indexer(ids2)
     ok = (r1 >= 0) & (r2 >= 0)
     r1, r2 = r1[ok], r2[ok]
-    va, oa = gather_lists(vals_a, offs_a, r1)
-    vb, ob = gather_lists(vals_b, offs_b, r2)
-    s = _sim_batch(va, oa, vb, ob, sim, m)
+    ovlp = overlap_auto_two(vals_a, offs_a, vals_b, offs_b, m, r1, r2)
+    la = np.diff(offs_a)[r1]
+    lb = np.diff(offs_b)[r2]
+    s = ovlp.astype(np.float64) if sim == "overlap" else S.set_sims_from_overlap(ovlp, la, lb, sim)
     keep = s >= threshold
     mask = ok.copy()
     mask[ok] = keep
@@ -216,7 +267,7 @@ def verify_pairs_rs(
             broadcast_verify_rs_batch,
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
             batch_format="pyarrow",
-            batch_size=32768,
+            batch_size=2048,
         )
     from .joins import hash_join
 

@@ -71,3 +71,18 @@ def test_singletons_label_themselves(ray_session):
     all_ids = ray.data.from_pandas(pd.DataFrame({"conv_id": ["a", "b", "c", "d"]}))
     lab = cluster_entities(eds, all_ids).to_pandas().set_index("conv_id")["entity_id"]
     assert lab["a"] == "a" and lab["b"] == "a" and lab["c"] == "c" and lab["d"] == "d"
+
+
+@pytest.mark.parametrize("name", ["chain", "two_components"])
+def test_distributed_with_singletons_uses_join(name, ray_session):
+    """driver_limit=0 forces the distributed CC branch + the hash_join
+    singleton assignment (no driver label collection)."""
+    edges = EDGE_SETS[name]
+    eds = ray.data.from_pandas(pd.DataFrame(edges, columns=["id1", "id2"]))
+    nodes = sorted({x for e in edges for x in e})
+    extra = [f"zz{i:03d}" for i in range(7)]
+    all_ids = ray.data.from_pandas(pd.DataFrame({"conv_id": nodes + extra}))
+    lab = cluster_entities(eds, all_ids, driver_limit=0, num_partitions=8).to_pandas()
+    exp = _oracle_components(edges)
+    exp.update({z: z for z in extra})
+    assert lab.set_index("conv_id")["entity_id"].to_dict() == exp

@@ -57,7 +57,7 @@ ORACLE_NAMES = [
     "dedup_token_jac_docs", "ann_topk", "embed_dup_pairs", "text_stats",
     "lang_id", "events_window",
     "block_jac_rs", "block_overlap_rs", "block_exm_rs", "block_anm_rs",
-    "block_lev_rs",
+    "block_lev_rs", "block_jac_weighted",
 ]
 
 

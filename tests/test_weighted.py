@@ -1,0 +1,71 @@
+"""IDF-weighted set-similarity join vs brute-force oracle
+(reference isWeighted path, simfunc.h:37-38 + tokenizer.cc:361-396)."""
+
+import math
+
+import numpy as np
+import pytest
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+from entityblockingbysimilarityjoins_ray.stages import blocking as B
+from entityblockingbysimilarityjoins_ray.stages.weighted import setsim_self_join_weighted
+
+
+def _cfg(**kw):
+    base = dict(num_buckets=8, pair_partitions=8)
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def _oracle_weighted(pdocs, attr, sim, threshold):
+    toks = {r["conv_id"]: set(oracle_tokens(r[attr], "dlm")) for _, r in pdocs.iterrows()}
+    n = len(toks)
+    df: dict = {}
+    for s in toks.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    w = {t: math.log10(n / d) for t, d in df.items()}
+    wrec = {k: sum(w[t] for t in s) for k, s in toks.items()}
+    out = set()
+    ids = sorted(toks)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ow = sum(w[t] for t in toks[a] & toks[b])
+            wa, wb = wrec[a], wrec[b]
+            if wa == 0 and wb == 0:
+                continue
+            if sim == "jac":
+                s = ow / (wa + wb - ow) if (wa + wb - ow) else 0.0
+            elif sim == "cos":
+                s = ow / math.sqrt(wa * wb) if wa * wb else 0.0
+            elif sim == "dice":
+                s = 2 * ow / (wa + wb)
+            if round(s, 9) >= threshold:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("sim,threshold", [("jac", 0.4), ("cos", 0.5), ("dice", 0.5)])
+def test_weighted_join_matches_bruteforce(tiny_docs, sim, threshold):
+    docs, pdocs = tiny_docs
+    toks = B.tokenize_docs(docs, "doc", "dlm").materialize()
+    got = setsim_self_join_weighted(
+        toks, sim=sim, threshold=threshold, cfg=_cfg(), round_to=9
+    ).to_pandas()
+    got_pairs = set(zip(got["id1"], got["id2"]))
+    exp = _oracle_weighted(pdocs, "doc", sim, threshold)
+    assert got_pairs == exp
+    assert len(exp) > 0
+
+
+def test_weighted_join_salted_is_exact(tiny_docs):
+    docs, pdocs = tiny_docs
+    toks = B.tokenize_docs(docs, "doc", "dlm").materialize()
+    base = setsim_self_join_weighted(toks, sim="jac", threshold=0.4, cfg=_cfg()).to_pandas()
+    salted = setsim_self_join_weighted(
+        toks, sim="jac", threshold=0.4, cfg=_cfg(salt_df_threshold=2, salt_factor=4)
+    ).to_pandas()
+    assert set(zip(base["id1"], base["id2"])) == set(zip(salted["id1"], salted["id2"]))
