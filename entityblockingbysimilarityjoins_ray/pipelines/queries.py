@@ -569,6 +569,26 @@ FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id JOIN sizes sb ON i.id2 = sb.doc_
 WHERE i.o * 1.0 / (sa.l + sb.l - i.o) >= 0.5"""
 
 
+def q_group_values(sf_dir: str):
+    """Interchangeable-value grouping v1 (group_interchangeable semantics,
+    interchangeable.py:162-205): near-dup doc pairs teach IC groups over the
+    text values; rows-only (embedding-cosine grouping has no SQL twin)."""
+    from ..stages.interchangeable import group_values
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"conv_id": df["doc_id"].astype(str).str.zfill(12), "doc": df["text"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    toks = B.tokenize_docs(docs, "doc", "alphanumeric").materialize()
+    matches = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=_cfg())
+    g = group_values(matches, docs, "doc", tau=0.8)
+    return g.map_batches(
+        lambda df: df.sort_values("val").reset_index(drop=True), batch_format="pandas"
+    )
+
+
 def q_minhash_lsh_docs(sf_dir: str):
     """MinHash-LSH near-dup candidates, exact-verified (rows-only check:
     LSH recall < 1 by construction, so no exact SQL twin)."""
@@ -729,6 +749,7 @@ QUERIES = {
     "block_lev_rs": q_block_lev_rs,
     "topk_blended": q_topk_blended,
     "sample_down": q_sample_down,
+    "group_values": q_group_values,
     "cluster_jac": q_cluster_jac,
     "megallen_wide": q_megallen_wide,
     "er_f1_report": q_er_f1_report,

@@ -1,0 +1,202 @@
+"""Interchangeable-value (IC) subsystem v1 — the reference's "round 2"
+accuracy lever.
+
+Reference flow (/root/reference/simjoin_entitymatching/value_matcher/
+interchangeable.py:162-205 group_interchangeable; doc2vec.py:290-357
+_label_and_group; normalize_values interchangeable.py:17-67):
+
+1. collect the attribute values appearing in MATCHED record pairs,
+2. embed each value (the reference trains per-attribute doc2vec models),
+3. connect values whose embedding cosine >= group_tau, take connected
+   components (optionally transitive closure) -> {value -> group id},
+4. normalize: replace each record's value by its group's representative
+   so a second feature-extraction / match round treats interchangeable
+   values as equal (the cpp feature path instead takes max sim over group
+   members, cal_feature.h:37-84 — value substitution by the representative
+   is the equivalent for identity-invariant sims).
+
+Ray-native + sandbox-safe: gensim doc2vec is not available here, so values
+are embedded with deterministic FEATURE-HASHED bag-of-tokens vectors
+(token -> signed slot via the same 64-bit hash family used everywhere;
+Weinberger et al., ICML'09 "Feature Hashing for Large Scale Multitask
+Learning") — L2-normalized, so cosine reduces to a dot product.  The
+grouping machinery (pairing + CC + normalization) is model-agnostic: swap
+``embed_values`` for a real model's vectors when one is available.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import get_broadcast, hash_strings
+from ..functions.tokenize import tokens_list_array
+
+logger = logging.getLogger(__name__)
+
+
+def embed_values(values: np.ndarray, *, dim: int = 128, tok: str = "dlm", q: int = 3) -> np.ndarray:
+    """Deterministic feature-hashed bag-of-tokens embedding, L2-normalized.
+
+    Vectorized: one tokenizer pass over the whole batch, then a signed
+    scatter-add into (n, dim).  Stands in for the reference's per-attribute
+    doc2vec vectors (doc2vec.py:109-131) with a public, training-free
+    scheme; identical inputs embed identically across workers and runs."""
+    arr = pa.array(pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str))
+    lists = tokens_list_array(arr, tok, q)
+    flat = lists.flatten()
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    if offs.size and offs[0] != 0:
+        offs = offs - offs[0]
+    toks = np.asarray(pd.Series(np.asarray(flat, dtype=object)).astype(str), dtype=object)
+    n = len(values)
+    M = np.zeros((n, dim), np.float64)
+    if toks.size:
+        h = hash_strings(toks).view(np.uint64)
+        slot = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        np.add.at(M, (rows, slot), sign)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.maximum(nrm, 1e-30)
+
+
+def matched_values(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, num_partitions: int = 32, broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Distinct non-empty values of ``attr`` among records that appear in
+    the match result (the reference groups ONLY values seen in match pairs,
+    doc2vec.py:724-... load_match_res).  Output {val}."""
+    ids = matches.select_columns(["id1"]).map_batches(
+        lambda t: pa.table({"conv_id": t.column("id1")}), batch_format="pyarrow"
+    ).union(matches.select_columns(["id2"]).map_batches(
+        lambda t: pa.table({"conv_id": t.column("id2")}), batch_format="pyarrow"
+    ))
+    proj = docs.select_columns(["conv_id", attr])
+    n = n_records if n_records is not None else docs.count()
+    if n <= broadcast_limit:
+        import pyarrow.compute as pc
+
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(proj)
+        vmap = pd.Series(
+            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
+            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
+        )
+        ref = ray.put(vmap)
+
+        def lookup(t: pa.Table) -> pa.Table:
+            m = get_broadcast(ref)
+            cid = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+            vals = m.reindex(cid).to_numpy(object)
+            ok = pd.notna(vals) & (vals != "")
+            return pa.table({"val": pa.array(vals[ok], pa.string())})
+
+        vals = ids.map_batches(lookup, batch_format="pyarrow")
+    else:
+        from .joins import hash_join
+
+        j = hash_join(ids, proj.map_batches(
+            lambda t: pa.table({"cid": t.column("conv_id"), "val": t.column(attr)}),
+            batch_format="pyarrow"),
+            on="conv_id", right_on="cid", num_partitions=num_partitions)
+        vals = j.map_batches(
+            lambda df: pd.DataFrame({"val": df["val"].dropna().astype(str)}),
+            batch_format="pandas",
+        )
+    # distinct via per-batch dedupe + groupby (tiny vocabulary-sized shuffle)
+    vals = vals.map_batches(
+        lambda df: df.drop_duplicates("val"), batch_format="pandas"
+    ).groupby("val").map_groups(lambda df: df.head(1), batch_format="pandas")
+    return vals
+
+
+def group_values(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, tau: float = 0.8, dim: int = 128, tok: str = "dlm", q: int = 3,
+    num_partitions: int = 32, mode: str = "bruteforce",
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """IC grouping: {val, group_rep} for every matched value; group_rep is
+    the lexicographic minimum of the value's CC group (a deterministic
+    stand-in for the reference's 'first doc of the cluster',
+    interchangeable.py:50-53).  Singleton groups map to themselves."""
+    from .cluster import cluster_entities
+    from .dedup import embedding_dup_pairs
+
+    vals = matched_values(matches, docs, attr, num_partitions=num_partitions,
+                          n_records=n_records).materialize()
+
+    def emb(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("val").to_numpy(zero_copy_only=False), dtype=object)
+        M = embed_values(v, dim=dim, tok=tok, q=q)
+        return pa.table({
+            "vec_id": pa.array(v, pa.string()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), pa.float64()), dim),
+        })
+
+    embs = vals.map_batches(emb, batch_format="pyarrow")
+    pairs = embedding_dup_pairs(embs, threshold=tau, mode=mode,
+                                num_partitions=num_partitions)
+    ids = vals.map_batches(
+        lambda t: pa.table({"conv_id": t.column("val")}), batch_format="pyarrow"
+    )
+    lab = cluster_entities(pairs, ids, num_partitions=num_partitions)
+    return lab.map_batches(
+        lambda df: pd.DataFrame({"val": df["conv_id"], "group_rep": df["entity_id"]}),
+        batch_format="pandas",
+    )
+
+
+def normalize_attr(
+    docs: "ray.data.Dataset", attr: str, groups: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Replace ``attr`` values by their IC-group representative
+    (normalize_values, interchangeable.py:17-67).  The group table is
+    vocabulary-sized (distinct matched values), so it is broadcast once per
+    worker; unmatched / singleton values pass through unchanged."""
+    g = groups.to_pandas()
+    changed = g[g["val"] != g["group_rep"]]
+    gmap = pd.Series(changed["group_rep"].to_numpy(object),
+                     index=pd.Index(changed["val"]))
+    ref = ray.put(gmap)
+
+    def sub(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = get_broadcast(ref)
+        v = np.asarray(pc.cast(t.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object)
+        rep = m.reindex(pd.Index(v)).to_numpy(object)
+        out_v = np.where(pd.isna(rep), v, rep)
+        i = t.column_names.index(attr)
+        return t.set_column(i, attr, pa.array(out_v, pa.string()))
+
+    return docs.map_batches(sub, batch_format="pyarrow")
+
+
+def second_round_match(
+    candidates: "ray.data.Dataset", docs: "ray.data.Dataset", matches: "ray.data.Dataset",
+    attr: str, *, tau: float = 0.8, score_cols: list[str], threshold: float,
+    feature_specs=None, n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """IC-aware re-match (match.py:135-166): group values from round-1
+    matches, normalize the docs, re-extract features over the SAME candidate
+    set, re-decide.  Recovers pairs whose only disagreement is an
+    interchangeable value."""
+    from .features import DEFAULT_FEATURES, extract_features
+    from .matcher import threshold_match
+
+    groups = group_values(matches, docs, attr, tau=tau, n_records=n_records)
+    ndocs = normalize_attr(docs, attr, groups)
+    feats = extract_features(candidates, ndocs, feature_specs or DEFAULT_FEATURES,
+                             n_records=n_records)
+    return threshold_match(feats, score_cols=score_cols, threshold=threshold)

@@ -257,6 +257,122 @@ def rf_match(
 
 
 # ---------------------------------------------------------------------------
+# forest -> blocking rules (the reference's train->rules->block loop)
+# ---------------------------------------------------------------------------
+
+
+def _positive_paths(forest: RandomForest) -> tuple[list[dict], list[set]]:
+    """Distinct positive root->leaf paths across the forest.
+
+    Each path is reduced to its BINDING positive constraints: for every
+    feature taken in the '>' direction, the max threshold along the path
+    (pairs routed down the path provably have f > that bound).  Paths are
+    deduped by signature across trees but remember every tree they appear
+    in — the reference's tree<->rule-node bipartite edges
+    (/root/reference/simjoin_entitymatching/blocker/graph.py:91-139)."""
+    paths: dict[tuple, int] = {}
+    bounds_list: list[dict] = []
+    trees_of: list[set] = []
+    for ti, t in enumerate(forest.trees):
+        stack = [(0, {})]
+        while stack:
+            node, bounds = stack.pop()
+            if t.feature[node] < 0:
+                if t.value[node] >= 0.5:
+                    sig = tuple(sorted((f, round(b, 4)) for f, b in bounds.items()))
+                    if sig not in paths:
+                        paths[sig] = len(bounds_list)
+                        bounds_list.append(dict(bounds))
+                        trees_of.append(set())
+                    trees_of[paths[sig]].add(ti)
+                continue
+            f = int(t.feature[node])
+            thr = float(t.threshold[node])
+            stack.append((int(t.left[node]), bounds))  # f <= thr: not binding
+            nb = dict(bounds)
+            nb[f] = max(nb.get(f, -np.inf), thr)
+            stack.append((int(t.right[node]), nb))  # f > thr
+    return bounds_list, trees_of
+
+
+_BLOCKABLE_SIMS = ("jac", "cos", "dice", "overlap", "exm", "anm")
+
+
+def rules_from_forest(
+    forest: RandomForest, specs, *, target_cover: float = 1.0, max_rules: int = 8
+):
+    """Trained forest -> executable ``BlockingRule`` list via greedy
+    path-cover with threshold loosening.
+
+    Semantics of the reference's tripartite graph + range loosening +
+    greedy knapsack (graph.py:71-342, extract_formula.py:228-291),
+    simplified: a rule (feature f, threshold tau) COVERS a positive path if
+    the path binds f > b with b >= tau (every pair routed down the path
+    then satisfies the blocking join f >= tau, so blocking cannot lose it).
+    Greedily pick the (f, tau) from each blockable feature's bound grid
+    that covers the most uncovered paths (ties -> tighter tau, i.e. fewer
+    candidate pairs), until ``target_cover`` of the distinct positive paths
+    is covered.  Thresholds are floor-rounded to 4 decimals (the reference
+    rounds, graph.py:115; floor keeps tau <= the true bound so the
+    recall guarantee survives rounding).
+
+    Paths whose only binding constraints are on un-blockable features
+    (levSim / overlap coefficient have no self-join here) are reported as
+    ``uncovered`` — the caller decides whether that recall hole is
+    acceptable (the reference similarly drops 'jaro'-style features,
+    graph.py:292-295)."""
+    from ..config import BlockingRule
+
+    spec_by_idx = {i: s for i, s in enumerate(specs)}
+    assert [s.name for s in specs] == forest.feature_names, "spec order must match training"
+    bounds_list, trees_of = _positive_paths(forest)
+    n_paths = len(bounds_list)
+    blockable = {
+        i for i, s in spec_by_idx.items() if s.sim in _BLOCKABLE_SIMS
+    }
+    covered = np.zeros(n_paths, bool)
+    # feature -> sorted unique bounds (loose -> tight) across paths
+    grid: dict[int, np.ndarray] = {}
+    for f in blockable:
+        bs = sorted({np.floor(b * 1e4) / 1e4 for p in bounds_list for ff, b in p.items() if ff == f})
+        if bs:
+            grid[f] = np.asarray(bs)
+    rules: list[BlockingRule] = []
+    target = int(np.ceil(target_cover * n_paths))
+    while covered.sum() < target and len(rules) < max_rules:
+        best = None  # (gain, tau, f)
+        for f, taus in grid.items():
+            pb = np.array([p.get(f, -np.inf) for p in bounds_list])
+            for tau in taus:
+                gain = int((~covered & (pb >= tau)).sum())
+                if gain and (best is None or gain > best[0] or (gain == best[0] and tau > best[1])):
+                    best = (gain, float(tau), f)
+        if best is None:
+            break
+        _, tau, f = best
+        s = spec_by_idx[f]
+        if s.sim == "exm":
+            rules.append(BlockingRule(attr=s.attr, sim="exm", tok="none", threshold=1.0))
+        elif s.sim == "anm":
+            rules.append(BlockingRule(attr=s.attr, sim="anm", tok="none", threshold=tau))
+        else:
+            rules.append(BlockingRule(attr=s.attr, sim=s.sim, tok=s.tok, q=s.q,
+                                      threshold=tau))
+        pb = np.array([p.get(f, -np.inf) for p in bounds_list])
+        covered |= pb >= tau
+        del grid[f]  # one rule per feature (loosest useful tau already chosen)
+    uncovered = int(n_paths - covered.sum())
+    if uncovered:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "rules_from_forest: %d/%d positive paths not covered by blockable rules",
+            uncovered, n_paths,
+        )
+    return rules
+
+
+# ---------------------------------------------------------------------------
 # evaluation vs gold (reference get_recall / getStat semantics)
 # ---------------------------------------------------------------------------
 

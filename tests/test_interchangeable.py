@@ -1,0 +1,93 @@
+"""Interchangeable-value grouping / normalization / second-round match
+(reference value_matcher subsystem: interchangeable.py:17-205,
+doc2vec.py:290-357 semantics with a feature-hashed embedding)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.stages.interchangeable import (
+    embed_values,
+    group_values,
+    normalize_attr,
+    second_round_match,
+)
+
+
+def test_embed_values_deterministic_unit_norm():
+    v = np.array(["alpha beta", "alpha beta", "gamma delta", ""], dtype=object)
+    M1 = embed_values(v)
+    M2 = embed_values(v)
+    assert np.array_equal(M1, M2)
+    assert np.allclose(M1[0] @ M1[1], 1.0)  # identical values -> cos 1
+    nrm = np.linalg.norm(M1, axis=1)
+    assert np.allclose(nrm[:3], 1.0)
+    assert nrm[3] == 0.0  # empty value embeds to the zero vector
+
+
+def _planted():
+    """6 records; 'head' has a planted synonym set {s1a, s1b} (high token
+    overlap), one unrelated value, and a second synonym set {s2a, s2b}."""
+    s1a, s1b = "acme global corp", "acme global corporation"
+    s2a, s2b = "zenith machine works", "zenith machine work"
+    other = "unrelated totally different"
+    docs = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(6)],
+        "head": [s1a, s1b, other, s2a, s2b, s1a],
+        "doc": [f"body {i} shared tokens here" for i in range(6)],
+    })
+    matches = pd.DataFrame({"id1": ["c0", "c3", "c2"], "id2": ["c1", "c4", "c5"]})
+    return docs, matches, (s1a, s1b, s2a, s2b, other)
+
+
+def test_group_values_planted_synonyms(ray_session):
+    docs, matches, (s1a, s1b, s2a, s2b, other) = _planted()
+    g = group_values(
+        ray.data.from_pandas(matches), ray.data.from_pandas(docs), "head", tau=0.6
+    ).to_pandas().set_index("val")["group_rep"]
+    assert g[s1a] == g[s1b] == min(s1a, s1b)
+    assert g[s2a] == g[s2b] == min(s2a, s2b)
+    assert g[other] == other  # singleton maps to itself
+    assert g[s1a] != g[s2a]
+
+
+def test_normalize_attr_substitutes_representative(ray_session):
+    docs, matches, (s1a, s1b, s2a, s2b, other) = _planted()
+    g = group_values(
+        ray.data.from_pandas(matches), ray.data.from_pandas(docs), "head", tau=0.6
+    )
+    nd = normalize_attr(ray.data.from_pandas(docs), "head", g).to_pandas()
+    nd = nd.set_index("conv_id")["head"]
+    rep1, rep2 = min(s1a, s1b), min(s2a, s2b)
+    assert nd["c0"] == nd["c1"] == nd["c5"] == rep1
+    assert nd["c3"] == nd["c4"] == rep2
+    assert nd["c2"] == other
+
+
+def test_second_round_match_recovers_ic_pairs(ray_session):
+    """A candidate pair whose ONLY disagreement is an interchangeable head
+    value fails round 1 on head-dependent features but passes after IC
+    normalization."""
+    from entityblockingbysimilarityjoins_ray.stages.features import FeatureSpec
+
+    body = "common body tokens completely shared across records"
+    docs = pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d"],
+        "head": ["acme global corp", "acme global corporation",
+                 "acme global corp", "acme global corporation"],
+        "doc": [body, body, body, body],
+    })
+    # round 1 matched c-d despite the differing heads (other features won) —
+    # that pair TEACHES the IC group {corp, corporation}; the a-b candidate
+    # was rejected in round 1 and must be recovered in round 2
+    matches = pd.DataFrame({"id1": ["c"], "id2": ["d"]})
+    cands = pd.DataFrame({"id1": ["a", "c"], "id2": ["b", "d"]})
+    specs = (FeatureSpec("head", "exm", "none"), FeatureSpec("doc", "jac", "dlm"))
+    out = second_round_match(
+        ray.data.from_pandas(cands), ray.data.from_pandas(docs),
+        ray.data.from_pandas(matches), "head", tau=0.6,
+        score_cols=["head_exm_none", "doc_jac_dlm"], threshold=0.99,
+        feature_specs=specs,
+    ).to_pandas()
+    got = set(zip(out["id1"], out["id2"]))
+    assert ("a", "b") in got and ("c", "d") in got

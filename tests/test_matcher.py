@@ -84,3 +84,72 @@ def test_pairwise_prf():
     m = pairwise_prf(pred, gold)
     assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
     assert abs(m["f1"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# train -> rules -> block loop (graph.py / extract_formula.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_rules_from_forest_covers_paths():
+    from entityblockingbysimilarityjoins_ray.stages.features import FeatureSpec
+    from entityblockingbysimilarityjoins_ray.stages.matcher import rules_from_forest
+
+    X, y = _toy_features()
+    specs = (FeatureSpec("doc", "jac", "dlm"), FeatureSpec("doc", "cos", "dlm"),
+             FeatureSpec("noi", "lev", "none"))  # 'noise' -> unblockable lev
+    X = X.rename(columns={"noise": specs[2].name})
+    rf = RandomForest.train(X, y, n_estimators=11, max_depth=4, seed=42)
+    rules = rules_from_forest(rf, specs)
+    assert rules, "no executable rules derived"
+    sims = {(r.attr, r.sim) for r in rules}
+    assert ("doc", "jac") in sims or ("doc", "cos") in sims
+    # thresholds must sit at/below the positive class's feature floor
+    for r in rules:
+        assert 0.0 < r.threshold < 1.0
+
+
+def test_train_rules_block_match_loop(tiny_fixture, tiny_docs, ray_session):
+    """The reference's central loop: self-supervised sample -> RF -> derived
+    blocking rules -> block -> match; F1 >= 0.99 on the planted fixture."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+    from entityblockingbysimilarityjoins_ray.pipelines.er import block
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        DEFAULT_FEATURES,
+        extract_features,
+    )
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        RandomForest,
+        pairwise_prf,
+        rf_match,
+        rules_from_forest,
+    )
+    from entityblockingbysimilarityjoins_ray.stages.sampler import cluster_sample
+
+    _, gold, _ = tiny_fixture
+    docs, _ = tiny_docs
+    cfg = PipelineConfig(num_buckets=8, pair_partitions=8)
+
+    # 1. self-supervised labeled sample (no gold used for training); tau=0.7
+    # so positives span the moderately-similar band the matcher must accept
+    sample = cluster_sample(docs, tau=0.7, cfg=cfg)
+    # 2. features + forest
+    sf = extract_features(rd.from_pandas(sample[["id1", "id2"]]), docs).to_pandas()
+    sf = sample.merge(sf, on=["id1", "id2"])
+    feat_cols = [s.name for s in DEFAULT_FEATURES]
+    rf = RandomForest.train(sf[feat_cols], sf["label"].to_numpy(), seed=42)
+    # 3. derived rules drive blocking
+    rules = rules_from_forest(rf, DEFAULT_FEATURES)
+    assert rules
+    cfg.rules = rules
+    cand = block(docs, cfg)
+    cand_pd = cand.select_columns(["id1", "id2"]).to_pandas()
+    rec = pairwise_prf(cand_pd, gold)["recall"]
+    assert rec >= 0.99, (rec, [r.name for r in rules])
+    # 4. match with the same forest
+    feats = extract_features(cand, docs)
+    pred = rf_match(feats, rf, threshold=0.5).to_pandas()
+    prf = pairwise_prf(pred[pred["label"] == 1], gold)
+    assert prf["f1"] >= 0.99, prf
