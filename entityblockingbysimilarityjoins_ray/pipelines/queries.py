@@ -403,6 +403,34 @@ FROM pairsims
 ORDER BY score DESC, id1, id2 LIMIT 50"""
 
 
+def q_topk_allscore(sf_dir: str):
+    """Top-50 by the weighted all-similarity score (estimateDensity weights
+    feeding topKviaAllSimilarityScoreSelf, topk.cc:1297-1460).  Weights are
+    FIXED constants here so the SQL twin can reproduce the score exactly;
+    the data-dependent F1 weighting itself is pytest-oracled
+    (tests/test_density.py)."""
+    from ..stages.density import allscore_topk
+
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    pairs = B.setsim_self_join(toks, sim="overlap", threshold=1, cfg=_cfg())
+    rules = [
+        BlockingRule(attr="doc", sim="jac", tok="dlm", threshold=0.0),
+        BlockingRule(attr="head", sim="exm", tok="none", threshold=1.0),
+        BlockingRule(attr="doc", sim="cos", tok="dlm", threshold=0.0),
+    ]
+    return allscore_topk(pairs, d, rules, [0.5, 0.2, 0.3], 50)
+
+
+SQL_TOPK_ALLSCORE = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS}
+SELECT p.id1, p.id2,
+       0.5 * (o * 1.0 / (la + lb - o))
+       + 0.2 * (CASE WHEN da.head = db.head THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (o * 1.0 / sqrt(la * 1.0 * lb)) AS score
+FROM pairsims p JOIN sub da ON p.id1 = da.conv_id JOIN sub db ON p.id2 = db.conv_id
+ORDER BY score DESC, p.id1, p.id2 LIMIT 50"""
+
+
 def q_sample_down(sf_dir: str):
     """Down-sampling training candidates (DownSampler::sample semantics;
     rows-only: the sample is seeded-random by design, no SQL twin)."""
@@ -748,6 +776,7 @@ QUERIES = {
     "block_anm_rs": q_block_anm_rs,
     "block_lev_rs": q_block_lev_rs,
     "topk_blended": q_topk_blended,
+    "topk_allscore": q_topk_allscore,
     "sample_down": q_sample_down,
     "group_values": q_group_values,
     "cluster_jac": q_cluster_jac,
@@ -783,6 +812,7 @@ ORACLES = {
     "block_anm_rs": SQL_BLOCK_ANM_RS,
     "block_lev_rs": SQL_BLOCK_LEV_RS,
     "topk_blended": SQL_TOPK_BLENDED,
+    "topk_allscore": SQL_TOPK_ALLSCORE,
     "cluster_jac": SQL_CLUSTER_JAC,
     "megallen_wide": SQL_MEGALLEN_WIDE,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

@@ -189,6 +189,11 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
     n = key.size
     grp_start = np.repeat(starts, sizes)  # per-row: first row index of its bucket
     is_b0 = band == 0
+    # transpose ONCE: the kill loop gathers one band column at a time, and a
+    # contiguous (n,) column keeps each gather inside an ~n*8B cache-resident
+    # array instead of striding 8*n_bands bytes per probe — the stage is
+    # memory-bandwidth-bound under full-node concurrency, so this matters
+    bhT = np.ascontiguousarray(bh.T)
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
@@ -223,7 +228,7 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
             need = alive[b[alive] > bprime]
             if need.size == 0:
                 break
-            agree = bh[ii[need], bprime] == bh[jj[need], bprime]
+            agree = bhT[bprime][ii[need]] == bhT[bprime][jj[need]]
             keep[need[agree]] = False
             alive = need[~agree]
         out_i.append(ii[keep])

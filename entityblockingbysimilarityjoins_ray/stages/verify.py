@@ -47,7 +47,9 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     (cfg.broadcast_limit); the join path below is the unbounded-scale path.
     """
     tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
-    ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    # keep NATIVE dtype: int64 ids stay int64 so Index.get_indexer runs the
+    # vectorized integer hash path (object boxing costs ~3x per lookup)
+    ids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
     vals, offs = S.flatten_lists(tbl.column("toks"))
     uni = np.unique(vals)
     labels = np.searchsorted(uni, vals).astype(np.int64)  # per-row order kept
@@ -81,15 +83,26 @@ def _sim_batch(va, oa, vb, ob, sim: str, m: int | None = None) -> np.ndarray:
 
 
 def overlap_auto_two(vals_a, offs_a, vals_b, offs_b, m, r1, r2) -> np.ndarray:
-    """Exact per-pair overlap over two (possibly identical) corpora, choosing
-    the fastest kernel: bitmap over id1 runs when the batch has run locality
-    (pairs bucketed/sorted by hash(id1) upstream), else fused-key search."""
-    vb, ob = gather_lists(vals_b, offs_b, r2)
-    ovlp = S.pair_overlap_bitmap_runs(vals_a, offs_a, m, r1, vb, ob)
-    if ovlp is None:
-        va, oa = gather_lists(vals_a, offs_a, r1)
-        ovlp = S.pair_overlap_labeled(va, oa, vb, ob, m)
-    return ovlp
+    """Exact per-pair overlap over two (possibly identical) corpora via the
+    r1-sorted BITMAP kernel: sort the batch by r1 (no-op when pairs arrive
+    bucketed/sorted by hash(id1) from dedupe), mark each distinct r1's
+    tokens once in an m-bool bitmap, probe partners with one bool gather per
+    token.  Measured 3.3x faster than the fused-key binary search on
+    run-heavy batches and still ~1.1x faster when every r1 is unique (the
+    32k-iteration Python run loop included), so it is used unconditionally."""
+    if r1.size == 0:
+        return np.zeros(0, np.int64)
+    if np.all(r1[1:] >= r1[:-1]):
+        vb, ob = gather_lists(vals_b, offs_b, r2)
+        return S.pair_overlap_bitmap_runs(vals_a, offs_a, m, r1, vb, ob,
+                                          runs_max=1 << 62)
+    order = np.argsort(r1, kind="stable")
+    vb, ob = gather_lists(vals_b, offs_b, r2[order])
+    ovlp = S.pair_overlap_bitmap_runs(vals_a, offs_a, m, r1[order], vb, ob,
+                                      runs_max=1 << 62)
+    out = np.empty_like(ovlp)
+    out[order] = ovlp
+    return out
 
 
 def overlap_auto(vals, offs, m, r1, r2) -> np.ndarray:
@@ -107,8 +120,8 @@ def broadcast_verify_batch(
     shuffle/kernel locality; the survivors are swapped back to lexicographic
     (id1 < id2) here."""
     index, vals, offs, m = get_broadcast(toks_ref)
-    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    ids1 = batch.column("id1").to_numpy(zero_copy_only=False)
+    ids2 = batch.column("id2").to_numpy(zero_copy_only=False)
     r1 = index.get_indexer(ids1)
     r2 = index.get_indexer(ids2)
     ok = (r1 >= 0) & (r2 >= 0)
@@ -187,9 +200,10 @@ def verify_pairs(
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold,
                            canonicalize_output=canonicalize_output),
             batch_format="pyarrow",
-            # small batches keep the per-batch gather working set cache
-            # resident — 32k-pair batches measured 3-15x slower (bandwidth)
-            batch_size=2048,
+            # the r1-sorted bitmap kernel scales with batch size (marks
+            # amortize across a run) — large batches win, unlike the old
+            # fused-key gather kernel that thrashed cache above ~2k pairs
+            batch_size=32768,
         )
     from .joins import hash_join
 
@@ -220,8 +234,8 @@ def collect_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset
     dense space so the fused-key kernel works across tables."""
     ta = collect_arrow(toks_a.select_columns(["conv_id", "toks"]))
     tb = collect_arrow(toks_b.select_columns(["conv_id", "toks"]))
-    ids_a = np.asarray(ta.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
-    ids_b = np.asarray(tb.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    ids_a = ta.column("conv_id").to_numpy(zero_copy_only=False)
+    ids_b = tb.column("conv_id").to_numpy(zero_copy_only=False)
     va, oa = S.flatten_lists(ta.column("toks"))
     vb, ob = S.flatten_lists(tb.column("toks"))
     uni = np.unique(np.concatenate((va, vb)))
@@ -232,8 +246,8 @@ def collect_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset
 
 def broadcast_verify_rs_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
     index_a, vals_a, offs_a, index_b, vals_b, offs_b, m = get_broadcast(toks_ref)
-    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    ids1 = batch.column("id1").to_numpy(zero_copy_only=False)
+    ids2 = batch.column("id2").to_numpy(zero_copy_only=False)
     r1 = index_a.get_indexer(ids1)
     r2 = index_b.get_indexer(ids2)
     ok = (r1 >= 0) & (r2 >= 0)
@@ -267,7 +281,7 @@ def verify_pairs_rs(
             broadcast_verify_rs_batch,
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
             batch_format="pyarrow",
-            batch_size=2048,
+            batch_size=32768,
         )
     from .joins import hash_join
 
