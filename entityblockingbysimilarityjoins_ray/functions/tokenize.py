@@ -184,3 +184,28 @@ def oracle_tokens(s: str, tok: str, q: int = 3) -> list[str]:
     else:
         raise ValueError(tok)
     return sorted(set(bag))
+
+
+def normalize_array(arr: pa.Array, strategy: int = 0) -> pa.Array:
+    """stringNormalize (/root/reference/cpp/common/tokenizer.cc:111-142,
+    io.cc:594-615), vectorized with Arrow kernels:
+
+    - strategy 0: collapse space runs, strip leading/trailing spaces, lower
+    - strategy 1: drop every non-alphanumeric (ASCII), lower
+    - strategy 2: drop non-alnum except spaces, collapse runs, strip, lower
+
+    The reference lowercases with C ``tolower`` (ASCII); ``utf8_lower``
+    agrees on ASCII and extends sanely to multibyte text."""
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(pc.cast(arr, pa.string()), "")
+    if strategy == 1:
+        s = pc.replace_substring_regex(s, pattern="[^0-9A-Za-z]+", replacement="")
+        return pc.utf8_lower(s)
+    if strategy == 2:
+        s = pc.replace_substring_regex(s, pattern="[^0-9A-Za-z ]+", replacement="")
+    elif strategy != 0:
+        raise ValueError(f"unknown normalize strategy {strategy}")
+    s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    return pc.utf8_lower(s)

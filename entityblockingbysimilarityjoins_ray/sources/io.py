@@ -101,3 +101,13 @@ def read_parquet_clean(path, columns=None, **kw) -> "ray.data.Dataset":
 def read_transcripts(path: str, columns=None) -> "ray.data.Dataset":
     """Parquet transcript source with column pruning at the read."""
     return read_parquet_clean(path, columns=columns)
+
+
+def read_csv_clean(path, columns=None, **kw) -> "ray.data.Dataset":
+    """CSV source (the reference's own datasets ship as CSV,
+    /root/reference/cpp/common/io.h:44-81): Arrow-native read with optional
+    column projection + the same schema-metadata strip as the Parquet path."""
+    ds = ray.data.read_csv(path, **kw)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")

@@ -256,3 +256,102 @@ def extract_features(
         _extract_joined, fn_kwargs={"specs": list(specs)},
         batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# attribute-type inference -> declarative feature cross-product
+# ---------------------------------------------------------------------------
+
+ATTR_TYPES = ("boolean", "numeric", "str_eq_1w", "str_bt_1w_5w",
+              "str_bt_5w_10w", "str_gt_10w")
+
+
+def infer_attr_types(docs: "ray.data.Dataset", attrs: list[str]) -> dict[str, str]:
+    """Infer each attribute's Magellan-style type from the data — ONE
+    distributed pass of per-block partials (numeric-parse flag, word-count
+    sum, row count) + a tiny driver combine.
+
+    Types and word-count bands follow the py_entitymatching convention the
+    reference builds on (/root/reference/simjoin_entitymatching/feature/
+    feature_base.py:88-112 via au.get_attr_types; Falcon SIGMOD'17 appendix):
+    avg whitespace-token count <= 1 -> str_eq_1w, <= 5 -> str_bt_1w_5w,
+    <= 10 -> str_bt_5w_10w, else str_gt_10w; numeric / boolean dtypes map to
+    their own types."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for a in attrs:
+            col = t.column(a)
+            is_bool = pa.types.is_boolean(col.type)
+            is_num = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+            if is_bool or is_num:
+                rows.append((a, int(is_bool), int(is_num), 0.0, t.num_rows))
+                continue
+            s = pc.fill_null(pc.cast(col, pa.string()), "")
+            words = pc.list_value_length(pc.split_pattern_regex(s, pattern=r"\s+"))
+            nonnull = pc.sum(words).as_py() or 0
+            rows.append((a, 0, 0, float(nonnull), t.num_rows))
+        arr = list(zip(*rows))
+        return pa.table({"attr": pa.array(arr[0], pa.string()),
+                         "is_bool": pa.array(arr[1], pa.int64()),
+                         "is_num": pa.array(arr[2], pa.int64()),
+                         "words": pa.array(arr[3], pa.float64()),
+                         "n": pa.array(arr[4], pa.int64())})
+
+    parts = docs.select_columns(attrs).map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("attr", sort=False).agg(
+        is_bool=("is_bool", "max"), is_num=("is_num", "max"),
+        words=("words", "sum"), n=("n", "sum"))
+    out = {}
+    for a in attrs:
+        r = agg.loc[a]
+        if r["is_bool"]:
+            out[a] = "boolean"
+        elif r["is_num"]:
+            out[a] = "numeric"
+        else:
+            avg = r["words"] / max(r["n"], 1)
+            out[a] = ("str_eq_1w" if avg <= 1 else "str_bt_1w_5w" if avg <= 5
+                      else "str_bt_5w_10w" if avg <= 10 else "str_gt_10w")
+    return out
+
+
+def features_for_types(attr_types: dict[str, str]) -> tuple:
+    """Type-driven feature cross-product (the reference's per-type feature
+    counts, /root/reference/cpp/feature/feature_index.cc:332-344: long /
+    medium-long text 4, one-word 6, short phrase 8):
+
+    - boolean           -> exm                                     (1)
+    - numeric           -> exm, anm                                (2)
+    - str_eq_1w         -> lev, exm, jac/cos qgm3, jac/cos dlm     (6)
+    - str_bt_1w_5w      -> jac/cos/dice/ovlpcoeff x {dlm, qgm3}    (8)
+    - str_bt_5w_10w     -> jac/cos/dice/ovlpcoeff dlm              (4)
+    - str_gt_10w        -> jac/cos/dice/ovlpcoeff dlm              (4)
+    """
+    specs: list[FeatureSpec] = []
+    for a, ty in attr_types.items():
+        if ty == "boolean":
+            specs.append(FeatureSpec(a, "exm", "none"))
+        elif ty == "numeric":
+            specs += [FeatureSpec(a, "exm", "none"), FeatureSpec(a, "anm", "none")]
+        elif ty == "str_eq_1w":
+            specs += [FeatureSpec(a, "lev", "none"), FeatureSpec(a, "exm", "none"),
+                      FeatureSpec(a, "jac", "qgm", 3), FeatureSpec(a, "cos", "qgm", 3),
+                      FeatureSpec(a, "jac", "dlm"), FeatureSpec(a, "cos", "dlm")]
+        elif ty == "str_bt_1w_5w":
+            for tok, q in (("dlm", 3), ("qgm", 3)):
+                for sim in ("jac", "cos", "dice", "ovlpcoeff"):
+                    specs.append(FeatureSpec(a, sim, tok, q))
+        elif ty in ("str_bt_5w_10w", "str_gt_10w"):
+            for sim in ("jac", "cos", "dice", "ovlpcoeff"):
+                specs.append(FeatureSpec(a, sim, "dlm"))
+        else:
+            raise ValueError(f"unknown attr type {ty!r} for {a!r}")
+    return tuple(specs)
+
+
+def generate_features(docs: "ray.data.Dataset", attrs: list[str]) -> tuple:
+    """Declarative feature generation: infer types, emit the cross-product
+    (get_supported_features_for_matching semantics, feature_base.py:142-...)."""
+    return features_for_types(infer_attr_types(docs, attrs))
