@@ -183,3 +183,95 @@ def sample_stats(sample: pd.DataFrame, gold: pd.DataFrame) -> dict:
         "recall": hit / len(g) if g else 0.0,
         "density": hit / len(s) if s else 0.0,
     }
+
+
+def two_step_sample(
+    docs: "ray.data.Dataset", *, attr: str = "doc", blk_tau: float = 0.6,
+    step2_tau: float = 0.5, cap: int = 100_000, cfg: PipelineConfig | None = None,
+    gold: pd.DataFrame | None = None, density_floor: float = 0.1,
+    force_step2: bool = False,
+) -> "ray.data.Dataset":
+    """2-step sample refinement (Sample::clusterSampleRS + step2Sample,
+    /root/reference/cpp/sampler/sample.cc:160-289):
+
+    step 1: dlm-token jaccard self-join at ``blk_tau`` (overlap join when
+    blk_tau >= 1, matching the reference's OvlpSampler branch), capped at
+    ``cap`` pairs (logged).
+    step 2: if the sample's density vs gold is <= ``density_floor`` (or
+    ``force_step2``), RE-FILTER the pairs by qgram-3 jaccard >= step2_tau
+    — the second tokenization kills spurious dlm-level collisions.
+
+    Fully distributed: both steps are the engine's own join/verify stages;
+    no driver-side pair loops."""
+    from .verify import verify_pairs
+
+    cfg = cfg or PipelineConfig()
+    toks = B.tokenize_docs(docs, attr, "dlm").materialize()
+    if blk_tau >= 1.0:
+        pairs = B.setsim_self_join(toks, sim="overlap",
+                                   threshold=float(np.ceil(blk_tau - 1e-5)), cfg=cfg)
+    else:
+        pairs = B.setsim_self_join(toks, sim="jac", threshold=blk_tau, cfg=cfg)
+    n = pairs.count()
+    if n > cap:
+        logger.warning("two_step_sample: capping step-1 sample at %d (had %d)", cap, n)
+        pairs = pairs.limit(cap)
+    run_step2 = force_step2
+    if gold is not None and not run_step2:
+        st = sample_stats(pairs.select_columns(["id1", "id2"]).to_pandas(), gold)
+        run_step2 = st["density"] <= density_floor
+    if not run_step2:
+        return pairs
+    qtoks = B.tokenize_docs(docs, attr, "qgm", 3).materialize()
+    return verify_pairs(pairs.select_columns(["id1", "id2"]), qtoks,
+                        sim="jac", threshold=step2_tau,
+                        num_partitions=cfg.pair_partitions)
+
+
+def over_sample(df: pd.DataFrame, label_col: str = "label", seed: int = 0) -> pd.DataFrame:
+    """Seeded random over-sampling of the minority class to parity
+    (random_forest.py:150-162, RandomOverSampler semantics)."""
+    counts = df[label_col].value_counts()
+    if len(counts) < 2:
+        return df.reset_index(drop=True)
+    rng = np.random.default_rng(seed)
+    major = counts.idxmax()
+    out = [df]
+    for lbl, c in counts.items():
+        if lbl == major:
+            continue
+        need = counts[major] - c
+        pool = df[df[label_col] == lbl]
+        out.append(pool.iloc[rng.integers(0, len(pool), need)])
+    return pd.concat(out, ignore_index=True)
+
+
+def under_sample(df: pd.DataFrame, label_col: str = "label", seed: int = 0) -> pd.DataFrame:
+    """Seeded random under-sampling of the majority class to parity
+    (random_forest.py:164-175, RandomUnderSampler semantics)."""
+    counts = df[label_col].value_counts()
+    if len(counts) < 2:
+        return df.reset_index(drop=True)
+    rng = np.random.default_rng(seed)
+    n_min = counts.min()
+    out = []
+    for lbl in counts.index:
+        pool = df[df[label_col] == lbl]
+        if len(pool) > n_min:
+            idx = rng.choice(len(pool), n_min, replace=False)
+            pool = pool.iloc[np.sort(idx)]
+        out.append(pool)
+    return pd.concat(out, ignore_index=True)
+
+
+def train_test_split(
+    df: pd.DataFrame, test_frac: float = 0.25, seed: int = 0,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Seeded shuffle split (the reference trains/tests via sklearn's
+    splitter; deterministic numpy equivalent)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(df))
+    n_test = int(round(len(df) * test_frac))
+    test = df.iloc[np.sort(perm[:n_test])].reset_index(drop=True)
+    train = df.iloc[np.sort(perm[n_test:])].reset_index(drop=True)
+    return train, test
