@@ -64,6 +64,7 @@ class PipelineConfig:
     salt_factor: int = 8  # number of salt shards for hot tokens
     max_group_size: int | None = None  # cap on records per blocking key (None = exact)
     broadcast_limit: int = 2_000_000  # max records for broadcast verify (else Dataset.join)
+    broadcast_bytes_limit: int = 4 << 30  # max estimated bytes for any broadcast state
     include_empty_pairs: bool = True  # jaccard(empty, empty) == 1.0 (simfunc.cc:129-130)
 
     # --- matching ---

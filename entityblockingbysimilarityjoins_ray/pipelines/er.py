@@ -61,7 +61,11 @@ class _SetsimShared:
         key = (attr, tok, q)
         if key not in self._by_key:
             toks = B.tokenize_docs(self.docs, attr, tok, q).materialize()
-            broadcast = self.n_records() <= self.cfg.broadcast_limit
+            from ..stages.verify import should_broadcast
+
+            broadcast = should_broadcast(toks, self.n_records(),
+                                         self.cfg.broadcast_limit,
+                                         self.cfg.broadcast_bytes_limit)
             entry = {
                 "toks": toks,
                 "df_ref": _ray.put(B.build_df_table(toks)),

@@ -35,32 +35,26 @@ def _bruteforce_score(t: pa.Table, *, q_ref, id_col, vec_col, k) -> pa.Table:
     (stateless task; query matrix cached per worker)."""
     from ..functions.hashing import get_broadcast
 
-    class _S:
-        pass
-
-    self = _S()
-    self.q_ids, self.Q = get_broadcast(q_ref)  # (m,), (m, d) normalized f64
-    self.id_col, self.vec_col, self.k = id_col, vec_col, k
-    if True:
-        ids = np.asarray(t.column(self.id_col).to_numpy(zero_copy_only=False))
-        M = _normalize(_vec_matrix(t, self.vec_col))
-        sims = self.Q @ M.T  # (m, batch)
-        m = self.q_ids.size
-        k = min(self.k, ids.size)
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(m):
-            cols = part[qi]
-            out_q.append(np.full(k, self.q_ids[qi]))
-            out_id.append(ids[cols])
-            out_sim.append(sims[qi, cols])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_id)),
-                "sim": pa.array(np.concatenate(out_sim), pa.float64()),
-            }
-        )
+    q_ids, Q = get_broadcast(q_ref)  # (m,), (m, d) normalized f64
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+    M = _normalize(_vec_matrix(t, vec_col))
+    sims = Q @ M.T  # (m, batch)
+    m = q_ids.size
+    k = min(k, ids.size)
+    part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+    out_q, out_id, out_sim = [], [], []
+    for qi in range(m):
+        cols = part[qi]
+        out_q.append(np.full(k, q_ids[qi]))
+        out_id.append(ids[cols])
+        out_sim.append(sims[qi, cols])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_id)),
+            "sim": pa.array(np.concatenate(out_sim), pa.float64()),
+        }
+    )
 
 
 def ann_topk_bruteforce(
@@ -174,32 +168,27 @@ def ann_topk_ivf(
     def cell_score(t: pa.Table) -> pa.Table:
         from ..functions.hashing import get_broadcast
 
-        class _S:
-            pass
-
-        self = _S()
-        self.q_ids, self.Q, self.probe = get_broadcast(q_ref)
-        if True:
-            cell = int(t.column("cell")[0].as_py())
-            qsel = np.flatnonzero((self.probe == cell).any(axis=1))
-            if qsel.size == 0 or t.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-            M = _normalize(_vec_matrix(t, vec_col))
-            sims = self.Q[qsel] @ M.T
-            kk = min(k + 1, ids.size)
-            part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-            oq, oi, osim = [], [], []
-            for row, qi in enumerate(qsel):
-                cols = part[row]
-                oq.append(np.full(kk, self.q_ids[qi]))
-                oi.append(ids[cols])
-                osim.append(sims[row, cols])
-            return pa.table({"query_id": pa.array(np.concatenate(oq)),
-                             "neighbor_id": pa.array(np.concatenate(oi)),
-                             "sim": pa.array(np.concatenate(osim), pa.float64())})
+        q_ids, Q, probe = get_broadcast(q_ref)
+        cell = int(t.column("cell")[0].as_py())
+        qsel = np.flatnonzero((probe == cell).any(axis=1))
+        if qsel.size == 0 or t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        M = _normalize(_vec_matrix(t, vec_col))
+        sims = Q[qsel] @ M.T
+        kk = min(k + 1, ids.size)
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        oq, oi, osim = [], [], []
+        for row, qi in enumerate(qsel):
+            cols = part[row]
+            oq.append(np.full(kk, q_ids[qi]))
+            oi.append(ids[cols])
+            osim.append(sims[row, cols])
+        return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                         "neighbor_id": pa.array(np.concatenate(oi)),
+                         "sim": pa.array(np.concatenate(osim), pa.float64())})
 
     parts = (
         routed.groupby("cell")

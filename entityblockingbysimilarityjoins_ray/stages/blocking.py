@@ -206,96 +206,86 @@ def _emit_signatures(
     are then GRID-salted: the A record picks shard u and replicates across
     cells (u, v) for all v, the B record picks v and replicates across all
     u, so each (u, v) cell holds exactly one slice of the A x B space."""
-    class _S:  # keep the original attribute names for the body below
-        pass
+    df_toks, df_vals = get_broadcast(df_ref)
+    ids = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    col = batch.column("toks")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    if offs.size and offs[0] != 0:
+        offs = offs - offs[0]
+    vals = np.asarray(col.flatten(), dtype=np.int64)
+    lens = np.diff(offs)
+    n = ids.size
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
 
-    self = _S()
-    self.df_toks, self.df_vals = get_broadcast(df_ref)
-    self.sim = sim
-    self.threshold = threshold
-    self.P = pair_partitions
-    self.salt_df = salt_df_threshold
-    self.s = salt_factor
-    if True:
-        ids = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
-        col = batch.column("toks")
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        offs = np.asarray(col.offsets, dtype=np.int64)
-        if offs.size and offs[0] != 0:
-            offs = offs - offs[0]
-        vals = np.asarray(col.flatten(), dtype=np.int64)
-        lens = np.diff(offs)
-        n = ids.size
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    dfs = lookup_df(vals, df_toks, df_vals)
+    # order each record's tokens rarest-first (df asc, tok asc) — the
+    # reference's global df-ordered id space (tokenizer.cc:332-337)
+    order = np.lexsort((vals, dfs, rows))
+    vals_o, dfs_o, rows_o = vals[order], dfs[order], rows[order]
+    pos = np.arange(vals_o.size) - np.repeat(offs[:-1], lens)
 
-        dfs = lookup_df(vals, self.df_toks, self.df_vals)
-        # order each record's tokens rarest-first (df asc, tok asc) — the
-        # reference's global df-ordered id space (tokenizer.cc:332-337)
-        order = np.lexsort((vals, dfs, rows))
-        vals_o, dfs_o, rows_o = vals[order], dfs[order], rows[order]
-        pos = np.arange(vals_o.size) - np.repeat(offs[:-1], lens)
+    T = min_overlap_count(sim, threshold, lens)
+    prefix_len = lens - T + 1  # <=0 -> record cannot match (overlap removeShort)
+    keep = (pos < prefix_len[rows_o]) & (dfs_o >= 2)
+    tok_e, row_e = vals_o[keep], rows_o[keep]
+    pos_e = pos[keep].astype(np.int32)
+    df_e = dfs_o[keep]
 
-        T = min_overlap_count(self.sim, self.threshold, lens)
-        prefix_len = lens - T + 1  # <=0 -> record cannot match (overlap removeShort)
-        keep = (pos < prefix_len[rows_o]) & (dfs_o >= 2)
-        tok_e, row_e = vals_o[keep], rows_o[keep]
-        pos_e = pos[keep].astype(np.int32)
-        df_e = dfs_o[keep]
+    # salting: records under a hot token replicate across cells
+    idh = hash_strings(ids)
+    u_of = bucket_of(idh, max(salt_factor, 1))
+    hot = df_e > salt_df_threshold
+    base_side = np.int8(0 if rs_side in (None, 0) else 1)
+    cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
+    cells = [(cold_tok, cold_row, cold_pos,
+              np.zeros(cold_tok.size, np.int32),
+              np.full(cold_tok.size, base_side, np.int8))]
+    if hot.any() and salt_factor > 1:
+        ht, hr, hp = tok_e[hot], row_e[hot], pos_e[hot]
+        s = salt_factor
+        ht_r = np.repeat(ht, s)
+        hr_r = np.repeat(hr, s)
+        hp_r = np.repeat(hp, s)
+        v = np.tile(np.arange(s, dtype=np.int64), ht.size)
+        u = u_of[hr_r]
+        if rs_side is None:
+            # triangle replication (self-join)
+            i = np.minimum(u, v)
+            j = np.maximum(u, v)
+            cell = (i * s + j + 1).astype(np.int32)
+            side = np.where(u <= v, 0, 1).astype(np.int8)
+            side = np.where(u == v, 0, side).astype(np.int8)
+        elif rs_side == 0:
+            # A side: own shard u, replicate across partner shards v
+            cell = (u * s + v + 1).astype(np.int32)
+            side = np.zeros(ht_r.size, np.int8)
+        else:
+            # B side: own shard v(=u_of), replicate across partner shards u
+            cell = (v * s + u + 1).astype(np.int32)
+            side = np.ones(ht_r.size, np.int8)
+        cells.append((ht_r, hr_r, hp_r, cell, side))
+    tok_all = np.concatenate([c[0] for c in cells])
+    row_all = np.concatenate([c[1] for c in cells])
+    pos_all = np.concatenate([c[2] for c in cells])
+    cell_all = np.concatenate([c[3] for c in cells])
+    side_all = np.concatenate([c[4] for c in cells])
 
-        # salting: records under a hot token replicate across cells
-        idh = hash_strings(ids)
-        u_of = bucket_of(idh, max(self.s, 1))
-        hot = df_e > self.salt_df
-        base_side = np.int8(0 if rs_side in (None, 0) else 1)
-        cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
-        cells = [(cold_tok, cold_row, cold_pos,
-                  np.zeros(cold_tok.size, np.int32),
-                  np.full(cold_tok.size, base_side, np.int8))]
-        if hot.any() and self.s > 1:
-            ht, hr, hp = tok_e[hot], row_e[hot], pos_e[hot]
-            s = self.s
-            ht_r = np.repeat(ht, s)
-            hr_r = np.repeat(hr, s)
-            hp_r = np.repeat(hp, s)
-            v = np.tile(np.arange(s, dtype=np.int64), ht.size)
-            u = u_of[hr_r]
-            if rs_side is None:
-                # triangle replication (self-join)
-                i = np.minimum(u, v)
-                j = np.maximum(u, v)
-                cell = (i * s + j + 1).astype(np.int32)
-                side = np.where(u <= v, 0, 1).astype(np.int8)
-                side = np.where(u == v, 0, side).astype(np.int8)
-            elif rs_side == 0:
-                # A side: own shard u, replicate across partner shards v
-                cell = (u * s + v + 1).astype(np.int32)
-                side = np.zeros(ht_r.size, np.int8)
-            else:
-                # B side: own shard v(=u_of), replicate across partner shards u
-                cell = (v * s + u + 1).astype(np.int32)
-                side = np.ones(ht_r.size, np.int8)
-            cells.append((ht_r, hr_r, hp_r, cell, side))
-        tok_all = np.concatenate([c[0] for c in cells])
-        row_all = np.concatenate([c[1] for c in cells])
-        pos_all = np.concatenate([c[2] for c in cells])
-        cell_all = np.concatenate([c[3] for c in cells])
-        side_all = np.concatenate([c[4] for c in cells])
-
-        gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
-        pb = bucket_of(gmix, self.P)
-        # idh carried so pair dedup is int-keyed downstream
-        return pa.table(
-            {
-                "pb": pa.array(pb, type=pa.int32()),
-                "tok": pa.array(tok_all, type=pa.int64()),
-                "cell": pa.array(cell_all, type=pa.int32()),
-                "side": pa.array(side_all, type=pa.int8()),
-                "id": pa.array(ids[row_all], type=pa.string()),
-                "idh": pa.array(idh[row_all], type=pa.int64()),
-                "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
-                "pos": pa.array(pos_all, type=pa.int32()),
-            }
-        )
+    gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
+    pb = bucket_of(gmix, pair_partitions)
+    # idh carried so pair dedup is int-keyed downstream
+    return pa.table(
+        {
+            "pb": pa.array(pb, type=pa.int32()),
+            "tok": pa.array(tok_all, type=pa.int64()),
+            "cell": pa.array(cell_all, type=pa.int32()),
+            "side": pa.array(side_all, type=pa.int8()),
+            "id": pa.array(ids[row_all], type=pa.string()),
+            "idh": pa.array(idh[row_all], type=pa.int64()),
+            "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
+            "pos": pa.array(pos_all, type=pa.int32()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -562,18 +552,48 @@ def empty_record_ids(toks_ds) -> list:
 
 
 def _empty_pairs_ds(toks_ds, cfg: PipelineConfig, ids: list | None = None):
-    """Pairs of empty-token records: jaccard(∅,∅)=1.0 (simfunc.cc:129-130)."""
+    """Pairs of empty-token records: jaccard(∅,∅)=1.0 (simfunc.cc:129-130).
+
+    The empty records form one complete clique; above the driver-expansion
+    threshold the n(n-1)/2 pairs are generated DISTRIBUTED (one task per
+    left-id chunk) — exact at any n, never a silent cap."""
     if ids is None:
         ids = empty_record_ids(toks_ds)
-    if len(ids) > 2000:
-        logger.warning("blocking: %d empty records; capping empty-pair expansion at 2000", len(ids))
-        ids = ids[:2000]
-    rows = [
-        {"id1": ids[i], "id2": ids[j], "sim": 1.0}
-        for i in range(len(ids))
-        for j in range(i + 1, len(ids))
-    ]
-    return ray.data.from_items(rows) if rows else None
+    n = len(ids)
+    if n < 2:
+        return None
+    ids = sorted(ids)
+    if n <= 2000:
+        rows = [
+            {"id1": ids[i], "id2": ids[j], "sim": 1.0}
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        return ray.data.from_items(rows)
+    logger.warning(
+        "blocking: %d empty records -> %d empty pairs generated distributed",
+        n, n * (n - 1) // 2,
+    )
+    ids_ref = ray.put(np.asarray(ids, dtype=object))
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import get_broadcast
+
+        all_ids = get_broadcast(ids_ref)
+        i_arr = np.asarray(t.column("i"), dtype=np.int64)
+        counts = n - 1 - i_arr
+        ii = np.repeat(i_arr, counts)
+        jj = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        ) + ii + 1
+        return pa.table({
+            "id1": pa.array(all_ids[ii], pa.string()),
+            "id2": pa.array(all_ids[jj], pa.string()),
+            "sim": pa.array(np.ones(ii.size), pa.float64()),
+        })
+
+    left = ray.data.from_items([{"i": i} for i in range(n - 1)])
+    return left.map_batches(expand, batch_format="pyarrow", batch_size=256)
 
 
 def setsim_self_join(
@@ -621,7 +641,10 @@ def setsim_self_join(
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     if broadcast is None:
         n_records = n_records if n_records is not None else toks_ds.count()
-        broadcast = n_records <= cfg.broadcast_limit
+        from .verify import should_broadcast
+
+        broadcast = should_broadcast(toks_ds, n_records, cfg.broadcast_limit,
+                                     cfg.broadcast_bytes_limit)
     verified = verify_pairs(
         candidates,
         toks_ds,

@@ -449,24 +449,19 @@ def embedding_dup_pairs(
         order = np.argsort(ids)
 
         def block_fn(t: pa.Table) -> pa.Table:
-            class _S:
-                pass
-
-            self = _S()
-            self.ids, self.Mn = get_broadcast(ref)
-            if True:
-                rid = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-                pos = np.searchsorted(self.ids[order], rid)
-                rows = order[pos]
-                sims = self.Mn[rows] @ self.Mn.T
-                ii, jj = np.nonzero(sims >= threshold)
-                a = rid[ii]
-                b = self.ids[jj]
-                keep = a < b
-                return pa.table(
-                    {"id1": pa.array(a[keep]), "id2": pa.array(b[keep]),
-                     "sim": pa.array(sims[ii, jj][keep], pa.float64())}
-                )
+            all_ids, Mn = get_broadcast(ref)
+            rid = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(all_ids[order], rid)
+            rows = order[pos]
+            sims = Mn[rows] @ Mn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a = rid[ii]
+            b = all_ids[jj]
+            keep = a < b
+            return pa.table(
+                {"id1": pa.array(a[keep]), "id2": pa.array(b[keep]),
+                 "sim": pa.array(sims[ii, jj][keep], pa.float64())}
+            )
 
         return emb.select_columns([id_col]).map_batches(
             block_fn, batch_format="pyarrow", batch_size=1024
@@ -487,21 +482,16 @@ def embedding_dup_pairs(
     )
 
     def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
-        class _S:
-            pass
-
-        self = _S()
-        self.ids, self.Mn = get_broadcast(ref)
-        self.pos = pd.Index(self.ids)
-        if True:
-            if not len(df):
-                return pd.DataFrame({"id1": pd.Series(dtype=ids.dtype),
-                                     "id2": pd.Series(dtype=ids.dtype),
-                                     "sim": pd.Series(dtype=float)})
-            r1 = self.pos.get_indexer(df["id1"])
-            r2 = self.pos.get_indexer(df["id2"])
-            sim = np.einsum("ij,ij->i", self.Mn[r1], self.Mn[r2])
-            keep = sim >= threshold
-            return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
+        all_ids, Mn = get_broadcast(ref)
+        if not len(df):
+            return pd.DataFrame({"id1": pd.Series(dtype=ids.dtype),
+                                 "id2": pd.Series(dtype=ids.dtype),
+                                 "sim": pd.Series(dtype=float)})
+        pos = pd.Index(all_ids)
+        r1 = pos.get_indexer(df["id1"])
+        r2 = pos.get_indexer(df["id2"])
+        sim = np.einsum("ij,ij->i", Mn[r1], Mn[r2])
+        keep = sim >= threshold
+        return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
 
     return cands.map_batches(verify_fn, batch_format="pandas")

@@ -114,54 +114,49 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
     Reference analogue: extractFeatures4Matching per chunk table
     (/root/reference/cpp/feature/feature.cc:242-334), minus the
     interchangeable-group max-over-members path (v2)."""
-    class _S:
-        pass
+    state = get_broadcast(state_ref)
+    specs = list(specs)
+    if batch.num_rows == 0:
+        cols = {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())}
+        for s in specs:
+            cols[s.name] = pa.array([], pa.float64())
+        return pa.table(cols)
+    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    idx = state["index"]
+    r1 = idx.get_indexer(ids1)
+    r2 = idx.get_indexer(ids2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
+    out = {"id1": pa.array(ids1, pa.string()), "id2": pa.array(ids2, pa.string())}
+    for s in specs:
+        if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff"):
+            from .verify import overlap_auto
 
-    self = _S()
-    self.state = get_broadcast(state_ref)
-    self.specs = list(specs)
-    if True:
-        if batch.num_rows == 0:
-            cols = {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())}
-            for s in self.specs:
-                cols[s.name] = pa.array([], pa.float64())
-            return pa.table(cols)
-        ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-        ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
-        idx = self.state["index"]
-        r1 = idx.get_indexer(ids1)
-        r2 = idx.get_indexer(ids2)
-        ok = (r1 >= 0) & (r2 >= 0)
-        ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
-        out = {"id1": pa.array(ids1, pa.string()), "id2": pa.array(ids2, pa.string())}
-        for s in self.specs:
-            if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff"):
-                vals, offs, m = self.state[("toks", s.attr, s.tok, s.q)]
-                va, oa = gather_lists(vals, offs, r1)
-                vb, ob = gather_lists(vals, offs, r2)
-                ovlp = S.pair_overlap_labeled(va, oa, vb, ob, m)
-                f = S.set_sims_from_overlap(ovlp, np.diff(oa), np.diff(ob), s.sim)
-                # NaN when either side empty (reference feature_utils.cc:8,51)
-                empty = (np.diff(oa) == 0) | (np.diff(ob) == 0)
-                f = np.where(empty, np.nan, f)
-            elif s.sim == "lev":
-                raw = self.state[("raw", s.attr)]
-                a, b = raw[r1], raw[r2]
-                d = S.lev_dist_batch(a, b).astype(np.float64)
-                la = np.array([len(str(x)) for x in a], dtype=np.float64)
-                lb = np.array([len(str(x)) for x in b], dtype=np.float64)
-                mx = np.maximum(la, lb)
-                f = np.where(mx > 0, 1.0 - d / np.maximum(mx, 1.0), 1.0)  # levSim
-            elif s.sim == "exm":
-                raw = self.state[("raw", s.attr)]
-                f = (pd.Series(raw[r1]).astype(str).to_numpy() == pd.Series(raw[r2]).astype(str).to_numpy()).astype(np.float64)
-            elif s.sim == "anm":
-                raw = self.state[("raw", s.attr)]
-                f = S.absolute_norm_batch(raw[r1], raw[r2])
-            else:
-                raise ValueError(s.sim)
-            out[s.name] = pa.array(f, pa.float64())
-        return pa.table(out)
+            vals, offs, m = state[("toks", s.attr, s.tok, s.q)]
+            ovlp = overlap_auto(vals, offs, m, r1, r2)
+            la, lb = np.diff(offs)[r1], np.diff(offs)[r2]
+            f = S.set_sims_from_overlap(ovlp, la, lb, s.sim)
+            # NaN when either side empty (reference feature_utils.cc:8,51)
+            f = np.where((la == 0) | (lb == 0), np.nan, f)
+        elif s.sim == "lev":
+            raw = state[("raw", s.attr)]
+            a, b = raw[r1], raw[r2]
+            d = S.lev_dist_batch(a, b).astype(np.float64)
+            la = np.array([len(str(x)) for x in a], dtype=np.float64)
+            lb = np.array([len(str(x)) for x in b], dtype=np.float64)
+            mx = np.maximum(la, lb)
+            f = np.where(mx > 0, 1.0 - d / np.maximum(mx, 1.0), 1.0)  # levSim
+        elif s.sim == "exm":
+            raw = state[("raw", s.attr)]
+            f = (pd.Series(raw[r1]).astype(str).to_numpy() == pd.Series(raw[r2]).astype(str).to_numpy()).astype(np.float64)
+        elif s.sim == "anm":
+            raw = state[("raw", s.attr)]
+            f = S.absolute_norm_batch(raw[r1], raw[r2])
+        else:
+            raise ValueError(s.sim)
+        out[s.name] = pa.array(f, pa.float64())
+    return pa.table(out)
 
 
 def _extract_joined(batch: pa.Table, *, specs) -> pa.Table:

@@ -22,6 +22,30 @@ from ..functions import sims as S
 from ..functions.hashing import get_broadcast
 
 
+def should_broadcast(ds, n_records: int, record_limit: int,
+                     bytes_limit: int = 4 << 30) -> bool:
+    """Broadcast-vs-join gate on BOTH record count and estimated bytes.
+
+    Record counts alone under-estimate wide payloads (2M records x 10^4-token
+    docs would overflow the object store); ``Dataset.size_bytes()`` gives the
+    executed plan's in-memory estimate for free on materialized datasets —
+    gate on it when available."""
+    if n_records > record_limit:
+        return False
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if sz is not None and sz > bytes_limit:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "broadcast gate: %d records fit the count limit but ~%.1f GiB "
+            "exceeds the bytes limit — using the join path", n_records, sz / 2**30)
+        return False
+    return True
+
+
 def collect_arrow(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a (small) Dataset as one Arrow table on the driver.
 

@@ -116,3 +116,20 @@ def test_empty_records_pair_at_one(ray_session):
     pairs = setsim_self_join(toks, sim="jac", threshold=0.9, cfg=CFG)
     got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
     assert got == {("c1", "c2"), ("c1", "c4"), ("c2", "c4")}  # jaccard(∅,∅)=1.0
+
+
+def test_empty_pairs_distributed_exact(ray_session):
+    """>2000 empty records must expand to the EXACT complete clique via the
+    distributed path (the old code silently capped at 2000)."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.blocking import _empty_pairs_ds
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+
+    ids = [f"e{i:05d}" for i in range(2100)]
+    ds = _empty_pairs_ds(None, PipelineConfig(), ids=ids)
+    n = ds.count()
+    assert n == 2100 * 2099 // 2
+    some = ds.limit(5).to_pandas()
+    assert (some["id1"] < some["id2"]).all()
+    assert (some["sim"] == 1.0).all()
