@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -169,4 +170,97 @@ def allscore_topk(
         return pd.DataFrame({"id1": df["id1"], "id2": df["id2"], "score": sc})
 
     scored = feats.map_batches(score, batch_format="pandas")
+    return topk_pairs(scored, k)
+
+
+def allscore_topk_weighted(
+    pairs: "ray.data.Dataset", docs: "ray.data.Dataset", rules: list[BlockingRule],
+    weights: list[float], k: int, *, n_records: int | None = None,
+    batch_size: int = 8192,
+) -> pd.DataFrame:
+    """isWeighted all-score top-K (topk.cc:1414-1460 weighted branch):
+    set-sim rules score with IDF-weighted jaccard/cosine/dice/overlapCoeff
+    (wordwt = log10(N/df)); lev/exm/anm score as in the unweighted variant.
+
+    Per-(attr, tok, q) weighted token state (original hashes + wordwt table)
+    is broadcast once; the K-selection is the distributed partial-heap."""
+    import ray as _ray
+
+    from .blocking import build_df_table, tokenize_docs
+    from .topk import topk_pairs
+    from .weighted import weighted_token_index, word_weights
+
+    if n_records is None:
+        n_records = docs.count()
+    tot = float(sum(weights))
+    w = [x / tot for x in weights] if tot else [0.0] * len(weights)
+
+    set_keys = sorted({(r.attr, r.tok, r.q) for r in rules
+                       if r.sim in ("jac", "cos", "dice", "overlap")})
+    state_refs = {}
+    for attr, tok, q in set_keys:
+        toks = tokenize_docs(docs, attr, tok, q).materialize()
+        state_refs[(attr, tok, q)] = (
+            _ray.put(weighted_token_index(toks)),
+            _ray.put(word_weights(build_df_table(toks), n_records)),
+        )
+    raw_attrs = sorted({r.attr for r in rules if r.sim in ("lev", "exm", "anm")})
+    raw_ref = None
+    if raw_attrs:
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(docs.select_columns(["conv_id"] + raw_attrs))
+        vdf = tbl.to_pandas().set_index("conv_id")
+        raw_ref = _ray.put(vdf)
+
+    rules_l = list(rules)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import get_broadcast
+        from .verify import gather_lists
+
+        ids1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+        ids2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+        sc = np.zeros(ids1.size, np.float64)
+        for wi, r in zip(w, rules_l):
+            if r.sim in ("jac", "cos", "dice", "overlap"):
+                toks_ref, wt_ref = state_refs[(r.attr, r.tok, r.q)]
+                index, vals, offs, _ = get_broadcast(toks_ref)
+                wt_toks, wt_vals, default_wt = get_broadcast(wt_ref)
+                r1 = index.get_indexer(ids1)
+                r2 = index.get_indexer(ids2)
+                ok = (r1 >= 0) & (r2 >= 0)
+                va, oa = gather_lists(vals, offs, np.maximum(r1, 0))
+                vb, ob = gather_lists(vals, offs, np.maximum(r2, 0))
+                ovlp_w = S.pair_weighted_overlap(va, oa, vb, ob, wt_toks, wt_vals, default_wt)
+                wa = S.record_weights(va, oa, wt_toks, wt_vals, default_wt)
+                wb = S.record_weights(vb, ob, wt_toks, wt_vals, default_wt)
+                sim_name = "ovlpcoeff" if r.sim == "overlap" else r.sim
+                val = S.weighted_set_sims(ovlp_w, wa, wb, sim_name)
+                val = np.where(ok, np.nan_to_num(val), 0.0)
+            else:
+                vdf = get_broadcast(raw_ref)
+                a = vdf.reindex(ids1)[r.attr].to_numpy(object)
+                b = vdf.reindex(ids2)[r.attr].to_numpy(object)
+                a_s = pd.Series(a).fillna("").astype(str).to_numpy(object)
+                b_s = pd.Series(b).fillna("").astype(str).to_numpy(object)
+                empty = (a_s == "") | (b_s == "")
+                if r.sim == "lev":
+                    d = S.lev_dist_batch(a_s, b_s).astype(np.float64)
+                    la = np.array([len(x) for x in a_s], np.float64)
+                    lb = np.array([len(x) for x in b_s], np.float64)
+                    mx = np.maximum(la, lb)
+                    val = np.where(mx > 0, 1.0 - d / np.maximum(mx, 1.0), 1.0)
+                elif r.sim == "exm":
+                    val = (pd.Series(a_s).to_numpy() == pd.Series(b_s).to_numpy()).astype(np.float64)
+                else:
+                    val = S.absolute_norm_batch(a, b)
+                val = np.where(empty, 0.0, val)
+            sc += val * wi
+        return pa.table({"id1": pa.array(ids1, pa.string()),
+                         "id2": pa.array(ids2, pa.string()),
+                         "score": pa.array(sc, pa.float64())})
+
+    scored = pairs.select_columns(["id1", "id2"]).map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size)
     return topk_pairs(scored, k)

@@ -150,3 +150,49 @@ def test_pair_sample_values_layout(tiny_docs, ray_session):
     for _, r in out.iterrows():
         assert r["ltable_doc"] == v.loc[r["id1"], "doc"]
         assert r["rtable_head"] == v.loc[r["id2"], "head"]
+
+
+def test_allscore_topk_weighted_matches_bruteforce(tiny_docs, ray_session):
+    """isWeighted branch: weighted jaccard/cosine with wordwt=log10(N/df)
+    vs a literal driver-side oracle."""
+    from entityblockingbysimilarityjoins_ray.stages.density import allscore_topk_weighted
+
+    docs, pdocs = tiny_docs
+    ids = sorted(pdocs["conv_id"])[:30]
+    cand = pd.DataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:i + 5]],
+        columns=["id1", "id2"],
+    )
+    rules = [
+        __import__("entityblockingbysimilarityjoins_ray.config", fromlist=["BlockingRule"]).BlockingRule(
+            attr="doc", sim="jac", tok="dlm", threshold=0.0),
+        __import__("entityblockingbysimilarityjoins_ray.config", fromlist=["BlockingRule"]).BlockingRule(
+            attr="head", sim="exm", tok="none", threshold=1.0),
+    ]
+    weights = [0.7, 0.3]
+    k = 15
+    top = allscore_topk_weighted(ray.data.from_pandas(cand), docs, rules, weights, k)
+    # oracle
+    N = len(pdocs)
+    toks = {r["conv_id"]: _dlm_toks(str(r["doc"])) for _, r in pdocs.iterrows()}
+    from collections import Counter
+
+    df = Counter(t for s in toks.values() for t in s)
+    def wt(t):
+        return np.log10(N / df[t])
+    vals = pdocs.set_index("conv_id")
+    rows = []
+    wsum = np.array(weights) / np.sum(weights)
+    for a, b in zip(cand["id1"], cand["id2"]):
+        sa, sb = toks[a], toks[b]
+        ow = sum(wt(t) for t in sa & sb)
+        wa = sum(wt(t) for t in sa)
+        wb = sum(wt(t) for t in sb)
+        jac = ow / (wa + wb - ow) if (wa + wb - ow) > 0 else 0.0
+        ha, hb = str(vals.loc[a, "head"]), str(vals.loc[b, "head"])
+        exm = float(ha == hb) if ha and hb else 0.0
+        rows.append((a, b, wsum[0] * jac + wsum[1] * exm))
+    exp = pd.DataFrame(rows, columns=["id1", "id2", "score"]).sort_values(
+        ["score", "id1", "id2"], ascending=[False, True, True]).head(k).reset_index(drop=True)
+    assert top[["id1", "id2"]].reset_index(drop=True).equals(exp[["id1", "id2"]])
+    assert np.allclose(top["score"].to_numpy(), exp["score"].to_numpy())
