@@ -70,6 +70,7 @@ class PipelineConfig:
     # --- matching ---
     match_threshold: float = 0.6
     topk: int | None = None  # output-size cap after rule union (block_main.cc:79-118)
+    topk_trigger: int | None = None  # apply topk only above this pair count (pretopKviaTASelf MAX_TOTAL_SIZE)
 
     # --- clustering ---
     cc_max_iters: int = 50

@@ -141,6 +141,14 @@ def block(
     unioned = union_rules(per_rule, cfg)
     if cfg.topk is None:
         return unioned
+    if cfg.topk_trigger is not None:
+        # pre-top-K safety valve (pretopKviaTASelf, blocker_util.cc:111-129):
+        # the cap only fires when the union exceeds MAX_TOTAL_SIZE
+        unioned = unioned.materialize()
+        if unioned.count() <= cfg.topk_trigger:
+            return unioned
+        logger.warning("block: union exceeds topk_trigger=%d — applying top-%d cap",
+                       cfg.topk_trigger, cfg.topk)
     from ..stages.topk import blended_score_pairs, topk_pairs
 
     # score on the first setsim rule's tokenization (reference topKattr),

@@ -114,3 +114,22 @@ def test_determinism_across_partitioning(tiny_fixture):
         m = res["matches"].to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
         outs.append(m[["id1", "id2"]])
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_topk_trigger_valve(tiny_docs):
+    """pretopKviaTASelf semantics: the top-K cap fires ONLY above the
+    trigger size (blocker_util.cc:111-129)."""
+    from entityblockingbysimilarityjoins_ray.config import BlockingRule, PipelineConfig
+    from entityblockingbysimilarityjoins_ray.pipelines.er import block
+
+    docs, _ = tiny_docs
+    base = dict(num_buckets=8, pair_partitions=8,
+                rules=[BlockingRule("doc", "jac", "dlm", threshold=0.3)])
+    full = block(docs, PipelineConfig(**base)).count()
+    assert full > 10
+    # trigger far above the union size -> cap must NOT fire
+    out1 = block(docs, PipelineConfig(**base, topk=10, topk_trigger=10**9))
+    assert out1.count() == full
+    # trigger below the union size -> cap fires
+    out2 = block(docs, PipelineConfig(**base, topk=10, topk_trigger=1))
+    assert out2.count() == 10
