@@ -431,6 +431,46 @@ FROM pairsims p JOIN sub da ON p.id1 = da.conv_id JOIN sub db ON p.id2 = db.conv
 ORDER BY score DESC, p.id1, p.id2 LIMIT 50"""
 
 
+def q_topk_allscore_weighted(sf_dir: str):
+    """isWeighted all-score top-50 (topk.cc weighted branch): IDF-weighted
+    jaccard on doc + exact-match on head, fixed weights, rounded to 9
+    decimals on both sides for hash-stable ties."""
+    from ..stages.density import allscore_topk_weighted
+
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    pairs = B.setsim_self_join(toks, sim="overlap", threshold=1, cfg=_cfg())
+    rules = [
+        BlockingRule(attr="doc", sim="jac", tok="dlm", threshold=0.0),
+        BlockingRule(attr="head", sim="exm", tok="none", threshold=1.0),
+    ]
+    return allscore_topk_weighted(pairs, d, rules, [0.7, 0.3], 50, round_to=9)
+
+
+SQL_TOPK_ALLSCORE_WEIGHTED = f"""WITH {_DOCS_CTE}, {_SUB_CTE},
+alltoks AS (SELECT conv_id, unnest(list_distinct(list_filter(
+  string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM sub),
+n AS (SELECT count(*)::DOUBLE AS nrec FROM sub),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM alltoks GROUP BY tok),
+tokw AS (SELECT a.conv_id, a.tok,
+                log10((SELECT nrec FROM n) / d.df) AS w
+         FROM alltoks a JOIN dfs d ON a.tok = d.tok),
+recw AS (SELECT conv_id, sum(w) AS wrec FROM tokw GROUP BY conv_id),
+interw AS (SELECT a.conv_id AS id1, b.conv_id AS id2, sum(a.w) AS ow,
+                  count(*)::BIGINT AS o
+           FROM tokw a JOIN tokw b ON a.tok = b.tok AND a.conv_id < b.conv_id
+           GROUP BY 1, 2)
+SELECT i.id1, i.id2,
+       round(0.7 * (i.ow / (ra.wrec + rb.wrec - i.ow))
+             + 0.3 * (CASE WHEN da.head = db.head AND da.head <> '' AND db.head <> ''
+                           THEN 1.0 ELSE 0.0 END), 9) AS score
+FROM interw i
+JOIN recw ra ON i.id1 = ra.conv_id JOIN recw rb ON i.id2 = rb.conv_id
+JOIN sub da ON i.id1 = da.conv_id JOIN sub db ON i.id2 = db.conv_id
+WHERE i.o >= 1
+ORDER BY score DESC, i.id1, i.id2 LIMIT 50"""
+
+
 def q_sample_down(sf_dir: str):
     """Down-sampling training candidates (DownSampler::sample semantics;
     rows-only: the sample is seeded-random by design, no SQL twin)."""
@@ -777,6 +817,7 @@ QUERIES = {
     "block_lev_rs": q_block_lev_rs,
     "topk_blended": q_topk_blended,
     "topk_allscore": q_topk_allscore,
+    "topk_allscore_weighted": q_topk_allscore_weighted,
     "sample_down": q_sample_down,
     "group_values": q_group_values,
     "cluster_jac": q_cluster_jac,
@@ -813,6 +854,7 @@ ORACLES = {
     "block_lev_rs": SQL_BLOCK_LEV_RS,
     "topk_blended": SQL_TOPK_BLENDED,
     "topk_allscore": SQL_TOPK_ALLSCORE,
+    "topk_allscore_weighted": SQL_TOPK_ALLSCORE_WEIGHTED,
     "cluster_jac": SQL_CLUSTER_JAC,
     "megallen_wide": SQL_MEGALLEN_WIDE,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

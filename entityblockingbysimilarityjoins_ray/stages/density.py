@@ -176,7 +176,7 @@ def allscore_topk(
 def allscore_topk_weighted(
     pairs: "ray.data.Dataset", docs: "ray.data.Dataset", rules: list[BlockingRule],
     weights: list[float], k: int, *, n_records: int | None = None,
-    batch_size: int = 8192,
+    batch_size: int = 8192, round_to: int | None = None,
 ) -> pd.DataFrame:
     """isWeighted all-score top-K (topk.cc:1414-1460 weighted branch):
     set-sim rules score with IDF-weighted jaccard/cosine/dice/overlapCoeff
@@ -257,6 +257,10 @@ def allscore_topk_weighted(
                     val = S.absolute_norm_batch(a, b)
                 val = np.where(empty, 0.0, val)
             sc += val * wi
+        if round_to is not None:
+            # round on BOTH engine and SQL sides so float summation order
+            # cannot flip the (score, id1, id2) tie-break
+            sc = np.round(sc, round_to)
         return pa.table({"id1": pa.array(ids1, pa.string()),
                          "id2": pa.array(ids2, pa.string()),
                          "score": pa.array(sc, pa.float64())})

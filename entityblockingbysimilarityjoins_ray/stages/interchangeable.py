@@ -200,3 +200,137 @@ def second_round_match(
     feats = extract_features(candidates, ndocs, feature_specs or DEFAULT_FEATURES,
                              n_records=n_records)
     return threshold_match(feats, score_cols=score_cols, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# trainable value embedder (the doc2vec value-matcher analogue)
+# ---------------------------------------------------------------------------
+
+
+class ValueEmbedder:
+    """Trainable value embedder — the sandboxed stand-in for the reference's
+    per-attribute doc2vec models (doc2vec.py:109-131 train_and_save /
+    load_model): a PPMI-weighted token co-occurrence matrix over the
+    attribute's value corpus, factored by truncated SVD (Levy & Goldberg,
+    NIPS'14 "Neural Word Embedding as Implicit Matrix Factorization" — the
+    public result that PPMI-SVD approximates skip-gram factorization).
+
+    Deterministic (seeded power iteration), numpy-only, driver-side training
+    like the reference (gensim trains on the driver there too); inference is
+    a vectorized mean of token vectors, L2-normalized.  Vocabulary is capped
+    to the most frequent tokens so the dense co-occurrence stays small."""
+
+    def __init__(self, dim: int = 64, window: int = 4, max_vocab: int = 20000,
+                 tok: str = "dlm", seed: int = 42):
+        self.dim = dim
+        self.window = window
+        self.max_vocab = max_vocab
+        self.tok = tok
+        self.seed = seed
+        self.vocab: pd.Index | None = None
+        self.vectors: np.ndarray | None = None  # (V, dim)
+
+    def _token_lists(self, values: np.ndarray) -> list[list[str]]:
+        import re
+
+        from ..config import DLM_DELIMS
+
+        pat = "[" + re.escape(DLM_DELIMS) + "]+"
+        return [
+            [t for t in re.split(pat, str(v)) if t]
+            for v in pd.Series(values).fillna("")
+        ]
+
+    def train(self, values: np.ndarray) -> "ValueEmbedder":
+        lists = self._token_lists(values)
+        counts = pd.Series([t for l in lists for t in l]).value_counts()
+        vocab = pd.Index(counts.index[: self.max_vocab])
+        V = len(vocab)
+        if V == 0:
+            self.vocab = vocab
+            self.vectors = np.zeros((0, self.dim))
+            return self
+        co = np.zeros((V, V), np.float64)
+        for l in lists:
+            idx = vocab.get_indexer(l)
+            idx = idx[idx >= 0]
+            for off in range(1, self.window + 1):
+                if idx.size > off:
+                    a, b = idx[:-off], idx[off:]
+                    np.add.at(co, (a, b), 1.0)
+                    np.add.at(co, (b, a), 1.0)
+        total = co.sum()
+        if total == 0:
+            co[np.diag_indices(V)] = 1.0
+            total = co.sum()
+        pw = co.sum(axis=1, keepdims=True) / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pmi = np.log((co / total) / (pw * pw.T))
+        ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+        # seeded randomized SVD (power iteration) — deterministic
+        rng = np.random.default_rng(self.seed)
+        k = min(self.dim, V)
+        Q = rng.normal(size=(V, k))
+        for _ in range(4):
+            Q, _r = np.linalg.qr(ppmi @ Q)
+        B = Q.T @ ppmi
+        Ub, sb, _vt = np.linalg.svd(B, full_matrices=False)
+        U = Q @ Ub
+        vecs = U * np.sqrt(np.maximum(sb, 0.0))[None, :]
+        if k < self.dim:
+            vecs = np.pad(vecs, ((0, 0), (0, self.dim - k)))
+        self.vocab = vocab
+        self.vectors = vecs
+        return self
+
+    def embed(self, values: np.ndarray) -> np.ndarray:
+        """Mean of token vectors, L2-normalized; OOV tokens contribute 0."""
+        assert self.vocab is not None, "train() first"
+        lists = self._token_lists(values)
+        out = np.zeros((len(lists), self.dim), np.float64)
+        for i, l in enumerate(lists):
+            idx = self.vocab.get_indexer(l)
+            idx = idx[idx >= 0]
+            if idx.size:
+                out[i] = self.vectors[idx].mean(axis=0)
+        nrm = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(nrm, 1e-30)
+
+
+def group_values_trained(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, tau: float = 0.8, dim: int = 64, num_partitions: int = 32,
+    n_records: int | None = None, embedder: ValueEmbedder | None = None,
+) -> "ray.data.Dataset":
+    """IC grouping with the TRAINED embedder (group_interchangeable's
+    'doc' strategy, interchangeable.py:185-205): train on the matched-value
+    corpus, embed, pair by cosine >= tau, connected components."""
+    from .cluster import cluster_entities
+    from .dedup import embedding_dup_pairs
+
+    vals_ds = matched_values(matches, docs, attr, num_partitions=num_partitions,
+                             n_records=n_records).materialize()
+    corpus = vals_ds.to_pandas()["val"].to_numpy(object)  # vocabulary-sized
+    emb = (embedder or ValueEmbedder(dim=dim)).train(corpus)
+    ref = ray.put(emb)
+
+    def embat(t: pa.Table) -> pa.Table:
+        model: ValueEmbedder = get_broadcast(ref)
+        v = np.asarray(t.column("val").to_numpy(zero_copy_only=False), dtype=object)
+        M = model.embed(v)
+        return pa.table({
+            "vec_id": pa.array(v, pa.string()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), pa.float64()), model.dim),
+        })
+
+    embs = vals_ds.map_batches(embat, batch_format="pyarrow")
+    pairs = embedding_dup_pairs(embs, threshold=tau, num_partitions=num_partitions)
+    ids = vals_ds.map_batches(
+        lambda t: pa.table({"conv_id": t.column("val")}), batch_format="pyarrow"
+    )
+    lab = cluster_entities(pairs, ids, num_partitions=num_partitions)
+    return lab.map_batches(
+        lambda df: pd.DataFrame({"val": df["conv_id"], "group_rep": df["entity_id"]}),
+        batch_format="pandas",
+    )

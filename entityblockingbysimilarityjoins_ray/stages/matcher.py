@@ -389,3 +389,57 @@ def pairwise_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
         "tp": tp, "fp": len(p) - tp, "fn": len(g) - tp,
         "precision": precision, "recall": recall, "f1": f1,
     }
+
+
+def grid_search_train(
+    X: pd.DataFrame, y: np.ndarray, *,
+    param_grid: dict | None = None, cv: int = 5, seed: int = 42,
+    n_estimators: int = 11, parallel: bool = True,
+) -> tuple[RandomForest, dict]:
+    """Seeded k-fold grid search over the forest hyperparameters — the
+    reference's GridSearchCV(cv=5) training path
+    (/root/reference/simjoin_entitymatching/matcher/random_forest.py:441-460)
+    without sklearn: deterministic fold assignment, mean accuracy scoring,
+    ties -> first grid entry.  Candidate (grid point, fold) fits run as
+    parallel Ray tasks when a Ray session is live (``parallel=True``);
+    training frames are driver-sized by construction so each fit is small.
+
+    Returns (best refit forest, {"best_params", "cv_scores"})."""
+    import itertools
+
+    param_grid = param_grid or {
+        "max_depth": [6, 10, 20],
+        "min_leaf": [1, 2, 4],
+    }
+    keys = sorted(param_grid)
+    combos = [dict(zip(keys, vals))
+              for vals in itertools.product(*(param_grid[k] for k in keys))]
+    rng = np.random.default_rng(seed)
+    fold = rng.integers(0, cv, y.size)
+    Xv = X.reset_index(drop=True)
+
+    def fit_score(params: dict, f: int) -> float:
+        tr = fold != f
+        te = ~tr
+        if y[tr].size == 0 or y[te].size == 0:
+            return 0.0
+        m = RandomForest.train(Xv[tr], y[tr], n_estimators=n_estimators,
+                               seed=seed, **params)
+        p = (m.predict_proba(Xv[te].to_numpy(np.float64)) >= 0.5).astype(int)
+        return float((p == y[te]).mean())
+
+    jobs = [(ci, f) for ci in range(len(combos)) for f in range(cv)]
+    if parallel and ray.is_initialized():
+        fs = ray.remote(fit_score)
+        refs = [fs.remote(combos[ci], f) for ci, f in jobs]
+        flat = ray.get(refs)
+    else:
+        flat = [fit_score(combos[ci], f) for ci, f in jobs]
+    scores = []
+    for ci in range(len(combos)):
+        vals = [flat[i] for i, (cj, _) in enumerate(jobs) if cj == ci]
+        scores.append(float(np.mean(vals)))
+    best_i = int(np.argmax(scores))
+    best = combos[best_i]
+    model = RandomForest.train(Xv, y, n_estimators=n_estimators, seed=seed, **best)
+    return model, {"best_params": best, "cv_scores": dict(zip(map(str, combos), scores))}

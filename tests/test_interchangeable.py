@@ -91,3 +91,45 @@ def test_second_round_match_recovers_ic_pairs(ray_session):
     ).to_pandas()
     got = set(zip(out["id1"], out["id2"]))
     assert ("a", "b") in got and ("c", "d") in got
+
+
+def test_value_embedder_trained_groups(ray_session):
+    """PPMI-SVD value embedder (the doc2vec analogue): synonyms sharing
+    context tokens embed close; unrelated values do not."""
+    import numpy as np
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import ValueEmbedder
+
+    corpus = np.array(
+        ["acme global corp", "acme global corporation",
+         "acme global corp", "acme global corporation",
+         "zenith machine works", "zenith machine factory",
+         "totally unrelated thing"] * 4, dtype=object)
+    emb = ValueEmbedder(dim=16, seed=1).train(corpus)
+    M = emb.embed(np.array(["acme global corp", "acme global corporation",
+                            "zenith machine works", "totally unrelated thing"],
+                           dtype=object))
+    cos = M @ M.T
+    assert cos[0, 1] > 0.9      # synonyms nearly identical
+    assert cos[0, 2] < cos[0, 1]  # different cluster further away
+    # determinism
+    M2 = ValueEmbedder(dim=16, seed=1).train(corpus).embed(
+        np.array(["acme global corp"], dtype=object))
+    assert np.allclose(M[0], M2[0])
+
+
+def test_group_values_trained(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import (
+        group_values_trained,
+    )
+
+    docs, matches, (s1a, s1b, s2a, s2b, other) = (lambda d, m, s: (d, m, s))(*_planted())
+    g = group_values_trained(
+        rd.from_pandas(matches), rd.from_pandas(docs), "head", tau=0.85, dim=16,
+    ).to_pandas().set_index("val")["group_rep"]
+    assert g[s1a] == g[s1b]
+    assert g[other] == other
+    assert g[s1a] != g[s2a]
