@@ -751,6 +751,41 @@ SELECT doc_id, CASE
 FROM c"""
 
 
+def q_quality_docs(sf_dir: str):
+    """Document quality scoring (alpha/digit ratios, mean word length, ok
+    flag).  Ratios rounded to 9 decimals on BOTH engine and SQL sides so the
+    value-hash is float-order stable; the ok flag is computed from the
+    unrounded ratio on both sides."""
+    from ..stages.text import quality_score
+
+    out = quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.map_batches(
+        lambda df: df.assign(
+            alpha_ratio=df["alpha_ratio"].round(9),
+            digit_ratio=df["digit_ratio"].round(9),
+            mean_word_len=df["mean_word_len"].round(9),
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_QUALITY_DOCS = """WITH w AS (
+  SELECT doc_id,
+    length(text)::DOUBLE AS n,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS na,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS nd,
+    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS words
+  FROM documents)
+SELECT doc_id,
+  round(CASE WHEN n = 0 THEN 0.0 ELSE na / n END, 9) AS alpha_ratio,
+  round(CASE WHEN n = 0 THEN 0.0 ELSE nd / n END, 9) AS digit_ratio,
+  round(coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)::DOUBLE
+        / greatest(len(words), 1), 9) AS mean_word_len,
+  (n >= 20 AND n <= 1000000
+   AND (CASE WHEN n = 0 THEN 0.0 ELSE na / n END) >= 0.5)::BIGINT AS ok
+FROM w"""
+
+
 def q_events_window(sf_dir: str):
     """Per-user hourly windowed aggregate with in-batch pre-aggregation
     (combiner) before the groupby shuffle."""
@@ -832,6 +867,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_dup_pairs": q_embed_dup_pairs,
     "text_stats": q_text_stats,
+    "quality_docs": q_quality_docs,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "multimodal_decode": q_multimodal_decode,
@@ -863,6 +899,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embed_dup_pairs": SQL_EMBED_DUP,
     "text_stats": SQL_TEXT_STATS,
+    "quality_docs": SQL_QUALITY_DOCS,
     "lang_id": SQL_LANG_ID,
     "events_window": SQL_EVENTS_WINDOW,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
