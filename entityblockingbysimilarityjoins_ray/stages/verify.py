@@ -224,10 +224,12 @@ def verify_pairs(
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold,
                            canonicalize_output=canonicalize_output),
             batch_format="pyarrow",
-            # the r1-sorted bitmap kernel scales with batch size (marks
-            # amortize across a run) — large batches win, unlike the old
-            # fused-key gather kernel that thrashed cache above ~2k pairs
-            batch_size=32768,
+            # 8k pairs keeps per-batch gather temporaries under glibc's 32 MB
+            # dynamic-mmap-reuse threshold: at 32-way concurrency the larger
+            # 32k batches page-fault ~120 MB of fresh mappings per batch and
+            # serialize on kernel zone locks (~2x measured inflation), while
+            # the bitmap kernel's run amortization is already saturated at 8k
+            batch_size=8192,
         )
     from .joins import hash_join
 
@@ -305,7 +307,7 @@ def verify_pairs_rs(
             broadcast_verify_rs_batch,
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold),
             batch_format="pyarrow",
-            batch_size=32768,
+            batch_size=8192,
         )
     from .joins import hash_join
 
