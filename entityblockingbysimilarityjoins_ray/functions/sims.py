@@ -416,6 +416,84 @@ def _duck():
     return _DUCK_CON
 
 
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, reference semantics (simfunc.cc jaroWinkler):
+    match window = max(len)/2 - 1, greedy first-free matching, transposition
+    count over matched chars in order, Winkler boost p=0.1 over the common
+    prefix (<= 4 chars) when the Jaro weight exceeds 0.7.  Empty side -> 0,
+    exact match -> 1."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    rng = max(max(len1, len2) // 2 - 1, 0)
+    m1 = [False] * len1
+    m2 = [False] * len2
+    m = 0
+    for i in range(len1):
+        lo = max(i - rng, 0)
+        hi = min(i + rng, len2 - 1)
+        for j in range(lo, hi + 1):
+            if not m1[i] and not m2[j] and s1[i] == s2[j]:
+                m += 1
+                m1[i] = True
+                m2[j] = True
+                break
+    if m == 0:
+        return 0.0
+    num_trans = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            j = k
+            while j < len2:
+                if m2[j]:
+                    k = j + 1
+                    break
+                j += 1
+            if s1[i] != s2[min(j, len2 - 1)]:
+                num_trans += 1
+    weight = (m / len1 + m / len2 + (m - num_trans / 2) / m) / 3.0
+    if weight > 0.7:
+        l = 0
+        while l < min(4, len1, len2) and s1[l] == s2[l]:
+            l += 1
+        weight += l * 0.1 * (1.0 - weight)
+    return weight
+
+
+def monge_elkan(s1: str, s2: str, split: str = " ") -> float:
+    """Monge-Elkan with Jaro-Winkler as the inner function (simfunc.cc
+    mongeElkan, "according to Falcon"): split both sides on ``split`` dropping
+    empty tokens; ME = mean over tokens of s1 of max_{t2} jaroWinkler(t, t2).
+    Either side tokenless -> 0."""
+    r1 = [t for t in s1.split(split) if t and t != " "]
+    r2 = [t for t in s2.split(split) if t and t != " "]
+    if not r1 or not r2:
+        return 0.0
+    cummax = 0.0
+    for t in r1:
+        cummax += max(jaro_winkler(t, t2) for t2 in r2)
+    return cummax / len(r1)
+
+
+def jaro_winkler_batch(a, b) -> np.ndarray:
+    """Per-pair Jaro-Winkler over candidate-pair batches.  Short-attribute
+    feature kernel (post-blocking, bounded pair count) — per-pair loop mirrors
+    the reference's own per-pair C++ (simfunc.cc jaroWinkler); not used in any
+    corpus-scale blocking path."""
+    return np.array([jaro_winkler(str(x), str(y)) for x, y in zip(a, b)],
+                    dtype=np.float64)
+
+
+def monge_elkan_batch(a, b) -> np.ndarray:
+    """Per-pair Monge-Elkan over candidate-pair batches (see jaro_winkler_batch
+    scope note)."""
+    return np.array([monge_elkan(str(x), str(y)) for x, y in zip(a, b)],
+                    dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # Scalar oracles (tests): literal ports of the formulas, NOT of the C++ code.
 # ---------------------------------------------------------------------------

@@ -723,6 +723,26 @@ def q_text_stats(sf_dir: str):
     return text_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_token_count(sf_dir: str):
+    from ..stages.text import token_count
+
+    return token_count(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOKEN_COUNT = """SELECT doc_id,
+  len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> ''))::BIGINT AS n_tokens_ws,
+  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_tokens_bpe
+FROM documents"""
+
+
+def q_fingerprint_winnow(sf_dir: str):
+    # rows-only: the 61-bit rolling hash has no SQL twin; pytest holds the
+    # brute-force oracle (tests/test_text.py)
+    from ..stages.text import fingerprint_winnow
+
+    return fingerprint_winnow(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 SQL_TEXT_STATS = """SELECT doc_id,
   length(text)::BIGINT AS n_chars,
   len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> ''))::BIGINT AS n_words,
@@ -867,6 +887,8 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_dup_pairs": q_embed_dup_pairs,
     "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "fingerprint_winnow": q_fingerprint_winnow,
     "quality_docs": q_quality_docs,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
@@ -899,9 +921,11 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embed_dup_pairs": SQL_EMBED_DUP,
     "text_stats": SQL_TEXT_STATS,
+    "token_count": SQL_TOKEN_COUNT,
     "quality_docs": SQL_QUALITY_DOCS,
     "lang_id": SQL_LANG_ID,
     "events_window": SQL_EVENTS_WINDOW,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
+    # fingerprint_winnow,
     # ann_topk_ivf, multimodal_decode
 }

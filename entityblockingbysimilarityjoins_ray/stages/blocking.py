@@ -608,11 +608,20 @@ def setsim_self_join(
     df_ref=None,
     verify_ref=None,
     empty_ids: list | None = None,
+    in_join_topk: int | None = None,
 ) -> "ray.data.Dataset":
     """Threshold set-similarity self-join (jac/cos/dice >= δ, or overlap >= c).
 
     Output-equivalent to the reference's SetJoinParallel / OvlpSelfJoin
     (setjoin_parallel.cc, ovlpjoin.cc) for the same (sim, threshold).
+
+    ``in_join_topk`` keeps only the K highest-sim pairs of THIS rule's join —
+    the reference's MAINTAIN_VALUE in-join per-thread heaps
+    (setjoin_parallel.cc:727-776, maxHeapSize): each verify block keeps a
+    partial top-K, the driver merges block winners; ties break
+    (sim desc, id1, id2).  Applied to the verified join output (the
+    reference's heap lives inside the join, which never emits empty-empty
+    pairs — the cap here likewise precedes the empty-pair union).
 
     ``df_ref`` / ``verify_ref`` / ``empty_ids`` / ``n_records`` let several
     rules over the same (attr, tok) share one df table, one broadcast verify
@@ -655,6 +664,11 @@ def setsim_self_join(
         toks_ref=verify_ref,
         canonicalize_output=True,  # pairgen emits hash-ordered ids
     )
+    if in_join_topk is not None:
+        from .topk import topk_pairs
+
+        top = topk_pairs(verified, in_join_topk, score_col="sim")
+        verified = ray.data.from_pandas(top)
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
         ep = _empty_pairs_ds(toks_ds, cfg, ids=empty_ids)
         if ep is not None:

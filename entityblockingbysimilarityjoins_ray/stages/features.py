@@ -34,14 +34,14 @@ from .verify import gather_lists
 @dataclass(frozen=True)
 class FeatureSpec:
     attr: str = "doc"
-    sim: str = "jac"  # jac cos dice overlap ovlpcoeff lev exm anm
-    tok: str = "dlm"  # ignored for lev/exm/anm
+    sim: str = "jac"  # jac cos dice overlap ovlpcoeff lev exm anm jw me
+    tok: str = "dlm"  # ignored for lev/exm/anm/jw/me
     q: int = 3
 
     @property
     def name(self) -> str:
         tokpart = f"{self.tok}{self.q}" if self.tok == "qgm" else (
-            "none" if self.sim in ("lev", "exm", "anm") else self.tok
+            "none" if self.sim in ("lev", "exm", "anm", "jw", "me") else self.tok
         )
         return f"{self.attr}_{self.sim}_{tokpart}"
 
@@ -63,7 +63,7 @@ DEFAULT_FEATURES = (
 def _needed(specs):
     needed_tok = {(s.attr, s.tok, s.q) for s in specs
                   if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff")}
-    needed_raw = {s.attr for s in specs if s.sim in ("lev", "exm", "anm")}
+    needed_raw = {s.attr for s in specs if s.sim in ("lev", "exm", "anm", "jw", "me")}
     return needed_tok, needed_raw
 
 
@@ -153,6 +153,12 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
         elif s.sim == "anm":
             raw = state[("raw", s.attr)]
             f = S.absolute_norm_batch(raw[r1], raw[r2])
+        elif s.sim == "jw":
+            raw = state[("raw", s.attr)]
+            f = S.jaro_winkler_batch(raw[r1], raw[r2])
+        elif s.sim == "me":
+            raw = state[("raw", s.attr)]
+            f = S.monge_elkan_batch(raw[r1], raw[r2])
         else:
             raise ValueError(s.sim)
         out[s.name] = pa.array(f, pa.float64())
@@ -189,6 +195,10 @@ def _extract_joined(batch: pa.Table, *, specs) -> pa.Table:
                 f = (pd.Series(a).astype(str).to_numpy() == pd.Series(b).astype(str).to_numpy()).astype(np.float64)
             elif s.sim == "anm":
                 f = S.absolute_norm_batch(a, b)
+            elif s.sim == "jw":
+                f = S.jaro_winkler_batch(a, b)
+            elif s.sim == "me":
+                f = S.monge_elkan_batch(a, b)
             else:
                 raise ValueError(s.sim)
         out[s.name] = pa.array(np.asarray(f, np.float64), pa.float64())
@@ -350,3 +360,172 @@ def generate_features(docs: "ray.data.Dataset", attrs: list[str]) -> tuple:
     """Declarative feature generation: infer types, emit the cross-product
     (get_supported_features_for_matching semantics, feature_base.py:142-...)."""
     return features_for_types(infer_attr_types(docs, attrs))
+
+
+# ---------------------------------------------------------------------------
+# interchangeable-value (IC) max-over-group feature extraction
+# ---------------------------------------------------------------------------
+
+
+def _ic_state(groups_pd, specs, attr):
+    """Broadcast IC state: val -> cluster id, plus per-cluster member token
+    sets / raw strings (FeatureIndex::GroupTokens, feature_index.cc:347-...).
+    Only non-singleton groups matter — singleton values fall through to the
+    plain kernel."""
+    from ..functions.tokenize import oracle_tokens
+
+    reps = groups_pd.groupby("group_rep", sort=False)
+    cltid_of: dict = {}
+    members: list = []
+    for gi, (_, grp) in enumerate(reps):
+        vals = grp["val"].tolist()
+        if len(vals) < 2:
+            continue
+        gid = len(members)
+        for v in vals:
+            cltid_of[v] = gid
+        ent = {"raw": vals}
+        for s in specs:
+            if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff"):
+                key = (s.tok, s.q)
+                if key not in ent:
+                    ent[key] = [set(oracle_tokens(v, s.tok, s.q)) for v in vals]
+        members.append(ent)
+    return {"cltid": cltid_of, "groups": members}
+
+
+def _ic_scalar_sim(spec, a, b, ta, tb):
+    """Scalar sim for the member loops (sims.py oracles; the reference's own
+    group loop is per-member scalar too, cal_feature.cc:42-47,129-135)."""
+    from ..functions import sims as S
+
+    if spec.sim == "jac":
+        return S.jaccard(ta, tb)
+    if spec.sim == "cos":
+        return S.cosine(ta, tb)
+    if spec.sim == "dice":
+        return S.dice(ta, tb)
+    if spec.sim == "ovlpcoeff":
+        return S.overlap_coeff(ta, tb)
+    if spec.sim == "overlap":
+        return float(S.overlap(ta, tb))
+    if spec.sim == "lev":
+        return S.lev_sim(str(a), str(b)) if (a or b) else 1.0
+    if spec.sim == "exm":
+        return 1.0 if str(a) == str(b) else 0.0
+    if spec.sim == "anm":
+        return S.absolute_norm(str(a), str(b))
+    raise ValueError(spec.sim)
+
+
+def _apply_ic_max(batch_out, specs, attr, ic, raw1, raw2):
+    """Overwrite feature columns for pairs whose attr value is in an IC
+    group: same group -> 1.0 (overlap: max member set size); different /
+    one-sided -> max(base, member cross-product sims)
+    (calDoubleSideFeatures / calOneSideFeatures, cal_feature.cc:36-141)."""
+    from ..functions.tokenize import oracle_tokens
+
+    cltid = ic["cltid"]
+    grps = ic["groups"]
+    g1 = np.array([cltid.get(str(v), -1) for v in raw1], np.int64)
+    g2 = np.array([cltid.get(str(v), -1) for v in raw2], np.int64)
+    touched = np.flatnonzero((g1 >= 0) | (g2 >= 0))
+    if touched.size == 0:
+        return batch_out
+    for s in specs:
+        if s.attr != attr:
+            continue
+        col = np.asarray(batch_out[s.name], np.float64).copy()
+        needs_tok = s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff")
+        for i in touched:
+            a, b = str(raw1[i]), str(raw2[i])
+            ga, gb = g1[i], g2[i]
+            if ga >= 0 and ga == gb:
+                if s.sim == "overlap":
+                    col[i] = float(max(len(t) for t in grps[ga][(s.tok, s.q)]))
+                else:
+                    col[i] = 1.0
+                continue
+            if needs_tok:
+                ta = set(oracle_tokens(a, s.tok, s.q))
+                tb = set(oracle_tokens(b, s.tok, s.q))
+            else:
+                ta = tb = None
+            best = _ic_scalar_sim(s, a, b, ta, tb)
+            la = grps[ga][(s.tok, s.q)] if (ga >= 0 and needs_tok) else ([ta] if needs_tok else None)
+            ra = grps[ga]["raw"] if ga >= 0 else [a]
+            lb = grps[gb][(s.tok, s.q)] if (gb >= 0 and needs_tok) else ([tb] if needs_tok else None)
+            rb = grps[gb]["raw"] if gb >= 0 else [b]
+            for ja, va in enumerate(ra):
+                for jb, vb in enumerate(rb):
+                    sa = la[ja] if needs_tok else None
+                    sb = lb[jb] if needs_tok else None
+                    best = max(best, _ic_scalar_sim(s, va, vb, sa, sb))
+            col[i] = best
+        batch_out[s.name] = pa.array(col, pa.float64())
+    return batch_out
+
+
+def _extract_ic_batch(batch: pa.Table, *, state_ref, ic_ref, specs, attr) -> pa.Table:
+    """Broadcast-path feature kernel + IC max-over-group overwrite."""
+    out_tbl = _extract_batch(batch, state_ref=state_ref, specs=specs)
+    if out_tbl.num_rows == 0:
+        return out_tbl
+    state = get_broadcast(state_ref)
+    ic = get_broadcast(ic_ref)
+    idx = state["index"]
+    ids1 = np.asarray(out_tbl.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(out_tbl.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    raw = state[("raw", attr)] if ("raw", attr) in state else None
+    if raw is None:
+        # attr only used by set sims: raw strings still needed for grouping
+        raise ValueError(f"IC attr {attr!r} must appear in a raw-capable spec "
+                         f"or be added to the raw state")
+    r1 = idx.get_indexer(ids1)
+    r2 = idx.get_indexer(ids2)
+    cols = {c: out_tbl.column(c) for c in out_tbl.column_names}
+    cols = _apply_ic_max(cols, specs, attr, ic, raw[r1], raw[r2])
+    return pa.table(cols)
+
+
+def extract_features_ic(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    groups: "ray.data.Dataset | pd.DataFrame",
+    attr: str,
+    specs=DEFAULT_FEATURES,
+    *,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Feature extraction with interchangeable-value semantics on ``attr``:
+    features over ``attr`` take the MAX similarity across the IC-group
+    members of each side's value (same group -> 1.0), mirroring the
+    reference's group-aware feature path (cal_feature.cc calAll ->
+    calDoubleSideFeatures/calOneSideFeatures; groups from
+    stages/interchangeable.group_values).
+
+    The group table is vocabulary-sized, broadcast once per worker; grouped
+    pairs get a bounded per-member loop (reference does the same),
+    non-grouped pairs stay on the vectorized kernel."""
+    gpd = groups if isinstance(groups, pd.DataFrame) else groups.to_pandas()
+    specs = list(specs)
+    if not any(s.attr == attr and s.sim in ("lev", "exm", "anm", "jw", "me") for s in specs):
+        # ensure raw strings of attr reach the broadcast state
+        probe = [FeatureSpec(attr, "exm", "none")]
+    else:
+        probe = []
+    from .verify import collect_arrow
+
+    cols_tbl = collect_arrow(
+        docs.select_columns(sorted({"conv_id", attr} | {s.attr for s in specs}))
+        .map_batches(_feature_columns, fn_kwargs={"specs": specs + probe},
+                     batch_format="pyarrow")
+    )
+    state_ref = ray.put(_build_state(cols_tbl, specs + probe))
+    ic_ref = ray.put(_ic_state(gpd, specs, attr))
+    return pairs.map_batches(
+        _extract_ic_batch,
+        fn_kwargs=dict(state_ref=state_ref, ic_ref=ic_ref, specs=specs, attr=attr),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -443,3 +443,109 @@ def grid_search_train(
     best = combos[best_i]
     model = RandomForest.train(Xv, y, n_estimators=n_estimators, seed=seed, **best)
     return model, {"best_params": best, "cv_scores": dict(zip(map(str, combos), scores))}
+
+
+# ---------------------------------------------------------------------------
+# KNN post-filter on match results
+# ---------------------------------------------------------------------------
+
+
+def knn_filter_matches(
+    matches: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    attr: str,
+    *,
+    k: int = 5,
+    label_col: str = "label",
+    embedder=None,
+    dim: int = 64,
+) -> "ray.data.Dataset":
+    """Bidirectional KNN post-filter on predicted matches (the reference's
+    semantic-similarity filter, simjoin_entitymatching/matcher/search.py
+    filter_match_res_memory -> _search_KNN + _slim_match_tab x2): embed the
+    DISTINCT ``attr`` values appearing in predicted matches, compute each
+    value's K nearest values by embedding cosine, and demote (label -> 0)
+    any predicted pair whose values are not in each other's K-NN sets (the
+    forward filter keeps rid in KNN(lid), the reverse keeps lid in KNN(rid);
+    a pair survives only if both pass, like the reference's two sequential
+    _slim_match_tab calls).
+
+    Ray shape: the id->value map broadcasts once per worker; the KNN runs as
+    the ann-stage partial-top-k pattern over a values dataset (value count is
+    vocabulary-sized — distinct values in the match table, the same set the
+    reference indexes in faiss on the driver)."""
+    from .interchangeable import ValueEmbedder
+    from .verify import collect_arrow
+
+    import pyarrow.compute as pc
+
+    tbl = collect_arrow(docs.select_columns(["conv_id", attr]))
+    ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    vals = np.asarray(
+        pc.fill_null(pc.cast(tbl.column(attr), pa.string()), "").to_numpy(zero_copy_only=False),
+        dtype=object,
+    )
+    idval = pd.Series(vals, index=pd.Index(ids))
+    from ..functions.hashing import get_broadcast
+
+    iv_ref = ray.put(idval)
+
+    # distinct predicted-match values (vocabulary-sized by construction)
+    def matched_vals(t: pa.Table) -> pa.Table:
+        m = get_broadcast(iv_ref)
+        keep = np.asarray(t.column(label_col), dtype=np.int64) == 1
+        i1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)[keep]
+        i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)[keep]
+        u = pd.unique(np.concatenate([m.reindex(i1).to_numpy(object),
+                                      m.reindex(i2).to_numpy(object)]))
+        u = u[~pd.isna(u)]
+        return pa.table({"val": pa.array(u.astype(object), pa.string())})
+
+    uvals = (matches.map_batches(matched_vals, batch_format="pyarrow")
+             .to_pandas()["val"].drop_duplicates().sort_values().to_numpy(object))
+    if uvals.size == 0:
+        return matches
+    if embedder is None:
+        embedder = ValueEmbedder(dim=dim).train(uvals)
+    V = embedder.embed(uvals)  # (n, dim) L2-normalized
+    import ray.data as rd
+
+    vals_ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(uvals.size, dtype=np.int64)),
+        "embedding": pa.array(list(V), pa.list_(pa.float64())),
+    }))
+    from .ann import ann_topk_bruteforce
+
+    nn = ann_topk_bruteforce(vals_ds, np.arange(uvals.size, dtype=np.int64),
+                             k=k, exclude_self=False)
+    allowed: dict = {}
+    for q, grp in nn.groupby("query_id"):
+        allowed[int(q)] = set(int(x) for x in grp["neighbor_id"])
+    vid_of = pd.Series(np.arange(uvals.size, dtype=np.int64), index=pd.Index(uvals))
+    knn_ref = ray.put((vid_of, allowed))
+
+    def demote(t: pa.Table) -> pa.Table:
+        m = get_broadcast(iv_ref)
+        vid, alw = get_broadcast(knn_ref)
+        lab = np.asarray(t.column(label_col), dtype=np.int64).copy()
+        pred = lab == 1
+        if pred.any():
+            i1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+            i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+            v1 = vid.reindex(pd.Index(m.reindex(i1[pred]).to_numpy(object))).to_numpy()
+            v2 = vid.reindex(pd.Index(m.reindex(i2[pred]).to_numpy(object))).to_numpy()
+            ok = np.ones(v1.size, bool)
+            for j in range(v1.size):
+                a, b = v1[j], v2[j]
+                if np.isnan(a) or np.isnan(b):
+                    ok[j] = False
+                    continue
+                a, b = int(a), int(b)
+                ok[j] = (b in alw.get(a, ())) and (a in alw.get(b, ()))
+            out = lab[pred]
+            out[~ok] = 0
+            lab[pred] = out
+        i = t.column_names.index(label_col)
+        return t.set_column(i, label_col, pa.array(lab, pa.int64()))
+
+    return matches.map_batches(demote, batch_format="pyarrow")

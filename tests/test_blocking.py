@@ -133,3 +133,29 @@ def test_empty_pairs_distributed_exact(ray_session):
     some = ds.limit(5).to_pandas()
     assert (some["id1"] < some["id2"]).all()
     assert (some["sim"] == 1.0).all()
+
+
+def test_in_join_topk_cap(tiny_docs, ray_session):
+    """in_join_topk keeps exactly the K highest-sim pairs of the rule's own
+    output with (sim desc, id1, id2) ties — the reference's in-join heap
+    semantics (setjoin_parallel.cc:727-776)."""
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        setsim_self_join,
+        tokenize_docs,
+    )
+
+    docs, _ = tiny_docs
+    cfg = PipelineConfig(num_buckets=8, pair_partitions=8)
+    toks = tokenize_docs(docs, "doc", "dlm").materialize()
+    full = setsim_self_join(toks, sim="jac", threshold=0.4, cfg=cfg).to_pandas()
+    k = max(len(full) // 3, 1)
+    capped = setsim_self_join(toks, sim="jac", threshold=0.4, cfg=cfg,
+                              in_join_topk=k).to_pandas()
+    exp = (full.sort_values(["sim", "id1", "id2"], ascending=[False, True, True],
+                            kind="stable").head(k).reset_index(drop=True))
+    got = capped.sort_values(["sim", "id1", "id2"], ascending=[False, True, True],
+                             kind="stable").reset_index(drop=True)
+    assert len(got) == k
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got[["id1", "id2", "sim"]], exp[["id1", "id2", "sim"]])

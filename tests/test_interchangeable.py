@@ -133,3 +133,51 @@ def test_group_values_trained(ray_session):
     assert g[s1a] == g[s1b]
     assert g[other] == other
     assert g[s1a] != g[s2a]
+
+
+def test_extract_features_ic_max_over_group(ray_session):
+    """cal_feature.cc group semantics: same group -> 1.0 (overlap: max member
+    set size); cross/one-sided group -> max over member sims; ungrouped pairs
+    keep the plain kernel value."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.functions import sims as S
+    from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        FeatureSpec,
+        extract_features,
+        extract_features_ic,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d"],
+        "head": ["united states", "usa", "germany", "france"],
+    }))
+    # one IC group: {united states, usa}
+    groups = pd.DataFrame({"val": ["united states", "usa"],
+                           "group_rep": ["united states", "united states"]})
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id1": ["a", "a", "c"], "id2": ["b", "c", "d"]}))
+    specs = (FeatureSpec("head", "jac", "dlm"),
+             FeatureSpec("head", "overlap", "dlm"),
+             FeatureSpec("head", "exm", "none"),
+             FeatureSpec("head", "lev", "none"))
+    out = (extract_features_ic(pairs, docs, groups, "head", specs)
+           .to_pandas().set_index(["id1", "id2"]))
+    # (a,b): same group -> all 1.0 except overlap = max member token count (2)
+    assert out.loc[("a", "b"), "head_jac_dlm"] == 1.0
+    assert out.loc[("a", "b"), "head_exm_none"] == 1.0
+    assert out.loc[("a", "b"), "head_lev_none"] == 1.0
+    assert out.loc[("a", "b"), "head_overlap_dlm"] == 2.0
+    # (a,c): one side grouped -> max over {united states, usa} vs germany
+    exp_jac = max(S.jaccard(set(oracle_tokens(v, "dlm")), {"germany"})
+                  for v in ("united states", "usa"))
+    assert abs(out.loc[("a", "c"), "head_jac_dlm"] - exp_jac) < 1e-12
+    exp_lev = max(S.lev_sim(v, "germany") for v in ("united states", "usa"))
+    assert abs(out.loc[("a", "c"), "head_lev_none"] - exp_lev) < 1e-12
+    # (c,d): ungrouped -> identical to the plain kernel
+    plain = (extract_features(pairs, docs, specs)
+             .to_pandas().set_index(["id1", "id2"]))
+    for c in ("head_jac_dlm", "head_overlap_dlm", "head_exm_none", "head_lev_none"):
+        assert out.loc[("c", "d"), c] == plain.loc[("c", "d"), c]

@@ -153,3 +153,66 @@ def test_train_rules_block_match_loop(tiny_fixture, tiny_docs, ray_session):
     pred = rf_match(feats, rf, threshold=0.5).to_pandas()
     prf = pairwise_prf(pred[pred["label"] == 1], gold)
     assert prf["f1"] >= 0.99, prf
+
+
+def test_jw_me_feature_specs(tiny_docs, ray_session):
+    """jw/me raw-string feature sims flow through both extract paths and
+    match the scalar oracles."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.functions import sims as S
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        FeatureSpec,
+        extract_features,
+    )
+
+    docs, pdocs = tiny_docs
+    ids = pdocs["conv_id"].tolist()
+    pairs = rd.from_pandas(
+        __import__("pandas").DataFrame({"id1": ids[:6], "id2": ids[6:12]})
+    )
+    specs = (FeatureSpec("head", "jw", "none"), FeatureSpec("head", "me", "none"))
+    head = pdocs.set_index("conv_id")["head"]
+    for broadcast in (True, False):
+        out = extract_features(pairs, docs, specs, broadcast=broadcast).to_pandas()
+        assert len(out) == 6
+        assert {"head_jw_none", "head_me_none"} <= set(out.columns)
+        for _, r in out.iterrows():
+            a, b = str(head[r["id1"]]), str(head[r["id2"]])
+            assert abs(r["head_jw_none"] - S.jaro_winkler(a, b)) < 1e-12
+            assert abs(r["head_me_none"] - S.monge_elkan(a, b)) < 1e-12
+
+
+def test_knn_filter_matches(ray_session):
+    """Bidirectional value-KNN demotes predicted pairs whose attr values are
+    not mutual K-nearest neighbors (search.py _slim_match_tab x2)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.matcher import knn_filter_matches
+
+    # two tight value clusters on the unit circle; k=2 keeps each value's
+    # cluster-mate (+ itself) and excludes the other cluster
+    angles = {"v_a1": 0.00, "v_a2": 0.05, "v_b1": 2.0, "v_b2": 2.05}
+
+    class FakeEmbedder:
+        def embed(self, values):
+            th = np.array([angles[str(v)] for v in values])
+            return np.column_stack([np.cos(th), np.sin(th)])
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["r1", "r2", "r3", "r4"],
+        "head": ["v_a1", "v_a2", "v_b1", "v_b2"],
+    }))
+    matches = rd.from_pandas(pd.DataFrame({
+        "id1": ["r1", "r1", "r3", "r2"],
+        "id2": ["r2", "r3", "r4", "r4"],
+        "label": [1, 1, 1, 0],
+    }))
+    out = (knn_filter_matches(matches, docs, "head", k=2, embedder=FakeEmbedder())
+           .to_pandas().set_index(["id1", "id2"])["label"])
+    assert out[("r1", "r2")] == 1      # same cluster -> kept
+    assert out[("r1", "r3")] == 0      # cross cluster -> demoted
+    assert out[("r3", "r4")] == 1      # same cluster -> kept
+    assert out[("r2", "r4")] == 0      # was negative -> untouched

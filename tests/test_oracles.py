@@ -58,7 +58,7 @@ ORACLE_NAMES = [
     "lang_id", "events_window",
     "block_jac_rs", "block_overlap_rs", "block_exm_rs", "block_anm_rs",
     "block_lev_rs", "block_jac_weighted",
-    "topk_allscore", "topk_allscore_weighted", "quality_docs",
+    "topk_allscore", "topk_allscore_weighted", "quality_docs", "token_count",
 ]
 
 
@@ -75,7 +75,8 @@ def test_query_matches_oracle(contract, con, name):
 
 
 ROWS_ONLY = ["er_f1_report", "minhash_lsh_docs", "simhash_docs", "ann_topk_ivf",
-             "multimodal_decode", "sample_down", "group_values"]
+             "multimodal_decode", "sample_down", "group_values",
+             "fingerprint_winnow"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

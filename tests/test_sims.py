@@ -99,3 +99,36 @@ def test_scalar_sims_properties(s1, s2):
     d = S.dice(s1, s2)
     assert 0.0 <= j <= 1.0 and 0.0 <= c <= 1.0 and 0.0 <= d <= 1.0
     assert j <= c + 1e-12 or not (set(s1) or set(s2))  # jac <= cos
+
+
+def test_jaro_winkler_known_values():
+    # classic worked examples (Winkler 1990): MARTHA/MARHTA, DWAYNE/DUANE
+    assert abs(S.jaro_winkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-9
+    assert abs(S.jaro_winkler("DWAYNE", "DUANE") - 0.84) < 1e-9
+    assert S.jaro_winkler("abc", "abc") == 1.0
+    assert S.jaro_winkler("", "abc") == 0.0
+    assert S.jaro_winkler("abc", "") == 0.0
+    assert S.jaro_winkler("a", "b") == 0.0  # no matches within window
+    got = S.jaro_winkler_batch(["MARTHA", "x"], ["MARHTA", "x"])
+    assert abs(got[0] - 0.9611111111111111) < 1e-9 and got[1] == 1.0
+
+
+@given(st.text(alphabet="abcde ", max_size=10), st.text(alphabet="abcde ", max_size=10))
+@settings(max_examples=120, deadline=None)
+def test_jaro_winkler_properties(s1, s2):
+    v = S.jaro_winkler(s1, s2)
+    assert 0.0 <= v <= 1.0
+    assert S.jaro_winkler(s1, s1) == (1.0 if s1 else 0.0)
+
+
+def test_monge_elkan():
+    # single-token sides reduce to jaro_winkler
+    assert abs(S.monge_elkan("MARTHA", "MARHTA") - S.jaro_winkler("MARTHA", "MARHTA")) < 1e-12
+    # mean over left tokens of max jw against right tokens
+    exp = (max(S.jaro_winkler("aa", t) for t in ("aa", "zz"))
+           + max(S.jaro_winkler("bb", t) for t in ("aa", "zz"))) / 2
+    assert abs(S.monge_elkan("aa bb", "aa zz") - exp) < 1e-12
+    assert S.monge_elkan("", "a b") == 0.0
+    assert S.monge_elkan("a b", "  ") == 0.0
+    got = S.monge_elkan_batch(["aa bb"], ["aa zz"])
+    assert abs(got[0] - exp) < 1e-12
