@@ -55,9 +55,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from entityblockingbysimilarityjoins_ray.pipelines.er import run_pipeline
 
-    pair_parts = max(32, num_cpus * 2)
+    # pair-level fanout 8x cores: verify-stage weight (pairs x partner len)
+    # is skewed across k1 buckets, so finer pair partitions balance it;
+    # canonicalize/groupby fanout stays at 2x cores
+    pair_parts = max(64, num_cpus * 8)
     cfg = PipelineConfig(
-        num_buckets=pair_parts,
+        num_buckets=max(32, num_cpus * 2),
         pair_partitions=pair_parts,
         rules=[
             BlockingRule("doc", "jac", "dlm", threshold=0.5),

@@ -135,9 +135,36 @@ def block(
 
     With ``cfg.topk`` set, the union is capped to the top-K pairs by blended
     4-sim score — the reference's post-union output-size budget
-    (block_main.cc:79-118, TA semantics)."""
+    (block_main.cc:79-118, TA semantics).
+
+    Set-sim rules sharing one (attr, tok, q) tokenization are FUSED into a
+    single signature->pairgen->verify pass (setsim_self_join_multi): the
+    fused join emits one row per (pair, passing rule), so the OR-union +
+    passed_rules count below is output-identical to running each rule
+    separately — at roughly the cost of the loosest single rule."""
     shared = _SetsimShared(docs, cfg)
-    per_rule = [run_rule(docs, r, cfg, shared) for r in cfg.rules]
+    groups: dict[tuple, list[BlockingRule]] = {}
+    others: list[BlockingRule] = []
+    for r in cfg.rules:
+        if r.sim in ("jac", "cos", "dice", "overlap"):
+            groups.setdefault((r.attr, r.tok, r.q), []).append(r)
+        else:
+            others.append(r)
+    per_rule = []
+    for key, grp in groups.items():
+        st = shared.get(*key)
+        if len(grp) == 1:
+            per_rule.append(run_rule(docs, grp[0], cfg, shared))
+        else:
+            per_rule.append(
+                B.setsim_self_join_multi(
+                    st["toks"], [(g.sim, g.threshold) for g in grp], cfg,
+                    df_ref=st["df_ref"], broadcast=st["broadcast"],
+                    verify_ref=st["verify_ref"], empty_ids=st["empty_ids"],
+                    n_records=shared.n_records(),
+                )
+            )
+    per_rule.extend(run_rule(docs, r, cfg, shared) for r in others)
     unioned = union_rules(per_rule, cfg)
     if cfg.topk is None:
         return unioned

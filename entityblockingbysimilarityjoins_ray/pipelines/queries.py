@@ -403,6 +403,32 @@ FROM pairsims
 ORDER BY score DESC, id1, id2 LIMIT 50"""
 
 
+def q_block_fused_union(sf_dir: str):
+    """FUSED multi-rule blocking via pipelines.er.block: jac+cos rules over
+    ONE dlm tokenization run as a single signature->pairgen->verify pass
+    (setsim_self_join_multi), plus an exm rule — output-identical to per-rule
+    joins + OR-union (blocker_util.cc:8-108), at ~the cost of the loosest
+    single rule."""
+    from .er import block
+
+    d = _docs(sf_dir, subset=True).materialize()
+    cfg = _cfg(rules=[
+        BlockingRule("doc", "jac", "dlm", threshold=0.5),
+        BlockingRule("doc", "cos", "dlm", threshold=0.55),
+        BlockingRule("head", "exm"),
+    ])
+    return block(d, cfg).select_columns(["id1", "id2", "passed_rules"])
+
+
+SQL_BLOCK_FUSED_UNION = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS},
+r1 AS (SELECT id1, id2 FROM pairsims WHERE o * 1.0 / (la + lb - o) >= 0.5),
+r2 AS (SELECT id1, id2 FROM pairsims WHERE o * 1.0 / sqrt(la * 1.0 * lb) >= 0.55),
+r3 AS (SELECT a.conv_id AS id1, b.conv_id AS id2 FROM sub a JOIN sub b
+       ON a.head = b.head AND a.conv_id < b.conv_id),
+un AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+SELECT id1, id2, count(*)::BIGINT AS passed_rules FROM un GROUP BY id1, id2"""
+
+
 def q_topk_allscore(sf_dir: str):
     """Top-50 by the weighted all-similarity score (estimateDensity weights
     feeding topKviaAllSimilarityScoreSelf, topk.cc:1297-1460).  Weights are
@@ -864,6 +890,7 @@ QUERIES = {
     "block_anm_turns": q_block_anm_turns,
     "block_lev_head": q_block_lev_head,
     "block_rules_union": q_block_rules_union,
+    "block_fused_union": q_block_fused_union,
     "block_jac_weighted": q_block_jac_weighted,
     "block_jac_rs": q_block_jac_rs,
     "block_overlap_rs": q_block_overlap_rs,
@@ -904,6 +931,7 @@ ORACLES = {
     "block_anm_turns": SQL_BLOCK_ANM,
     "block_lev_head": SQL_BLOCK_LEV,
     "block_rules_union": SQL_BLOCK_RULES_UNION,
+    "block_fused_union": SQL_BLOCK_FUSED_UNION,
     "block_jac_weighted": SQL_BLOCK_JAC_WEIGHTED,
     "block_jac_rs": SQL_BLOCK_JAC_RS,
     "block_overlap_rs": SQL_BLOCK_OVERLAP_RS,

@@ -185,12 +185,13 @@ def _emit_signatures(
     batch: pa.Table,
     *,
     df_ref,
-    sim: str,
-    threshold: float,
+    sim: str | None = None,
+    threshold: float | None = None,
     pair_partitions: int,
     salt_df_threshold: int,
     salt_factor: int,
     rs_side: int | None = None,
+    rules: list[tuple[str, float]] | None = None,
 ) -> pa.Table:
     """Emit (tok, cell, side, id, tlen) prefix-signature rows per record.
 
@@ -205,7 +206,14 @@ def _emit_signatures(
     stringjoin_parallel.h:487-488; simjoin_blocker.cc:180-378) — hot tokens
     are then GRID-salted: the A record picks shard u and replicates across
     cells (u, v) for all v, the B record picks v and replicates across all
-    u, so each (u, v) cell holds exactly one slice of the A x B space."""
+    u, so each (u, v) cell holds exactly one slice of the A x B space.
+
+    ``rules``: FUSED multi-rule mode — several set-sim rules over the SAME
+    tokenization share one signature pass.  The per-record prefix uses the
+    element-wise LOOSEST bound T(l) = min over rules, so each rule's
+    candidate set stays a superset of its single-rule join (the rarest
+    common token of any pair passing rule r sits inside the fused prefix);
+    exact per-rule verification restores exactness downstream."""
     df_toks, df_vals = get_broadcast(df_ref)
     ids = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
     col = batch.column("toks")
@@ -225,7 +233,8 @@ def _emit_signatures(
     vals_o, dfs_o, rows_o = vals[order], dfs[order], rows[order]
     pos = np.arange(vals_o.size) - np.repeat(offs[:-1], lens)
 
-    T = min_overlap_count(sim, threshold, lens)
+    rl = rules if rules is not None else [(sim, threshold)]
+    T = np.minimum.reduce([min_overlap_count(s, t, lens) for s, t in rl])
     prefix_len = lens - T + 1  # <=0 -> record cannot match (overlap removeShort)
     keep = (pos < prefix_len[rows_o]) & (dfs_o >= 2)
     tok_e, row_e = vals_o[keep], rows_o[keep]
@@ -326,8 +335,11 @@ def _pair_range_triangle(sizes, cum, p_lo, p_hi):
 
 
 def _pairgen_bucket(
-    t: pa.Table, *, sim: str, threshold: float, alpha: float | None,
+    t: pa.Table, *, sim: str | None = None, threshold: float | None = None,
+    alpha: float | None,
     max_group_size: int | None, chunk_pairs: int = 262_144, rs: bool = False,
+    rules: list[tuple[str, float]] | None = None,
+    ids_out: bool = True,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -342,7 +354,12 @@ def _pairgen_bucket(
       pruned from quadratic to near-zero.
 
     Candidate index space is decoded in fixed-size chunks so a hot group
-    never materializes its full m^2/2 index range at once."""
+    never materializes its full m^2/2 index range at once.
+
+    ``rules``: fused multi-rule mode — the pairwise bound is the element-wise
+    loosest min over rules (see _emit_signatures); ``alpha`` must then be the
+    fused (minimum) length-ratio, computed by the caller."""
+    rl = rules if rules is not None else [(sim, threshold)]
     tok = np.asarray(t.column("tok"), dtype=np.int64)
     cell = np.asarray(t.column("cell"), dtype=np.int64)
     side = np.asarray(t.column("side"), dtype=np.int64)
@@ -350,8 +367,11 @@ def _pairgen_bucket(
     idh_raw = np.asarray(t.column("idh"), dtype=np.int64)
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
     pos = np.asarray(t.column("pos"), dtype=np.int64)
-    empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-                      "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
+    empty = pa.table(
+        {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
+        if not ids_out else
+        {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+         "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     if tok.size == 0:
         return empty
 
@@ -402,7 +422,7 @@ def _pairgen_bucket(
             lo = np.minimum(la, lb).astype(np.float64)
             hi = np.maximum(la, lb).astype(np.float64)
             mask &= lo >= alpha * hi - _EPS
-        T = pair_min_overlap(sim, threshold, la, lb)
+        T = np.minimum.reduce([pair_min_overlap(s, th, la, lb) for s, th in rl])
         mask &= 1.0 + np.minimum(remain[ii], remain[jj]) >= T
         if not rs:
             mask &= idh[ii] != idh[jj]  # self-pairs (64-bit id-hash dedup)
@@ -459,6 +479,12 @@ def _pairgen_bucket(
     first = np.ones(k1s.size, bool)
     first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
     keep_idx = order2[first]
+    if not ids_out and not rs:
+        # slim int-only emission: the candidate shuffle carries 16-byte
+        # (k1, k2) hash pairs; the hash-keyed verify stage materializes id
+        # strings for survivors only (verify.verify_pairs_hash)
+        return pa.table({"k1": pa.array(k1s[first], pa.int64()),
+                         "k2": pa.array(k2s[first], pa.int64())})
     a_ids = ids[ii[keep_idx]].astype("U")
     b_ids = ids[jj[keep_idx]].astype("U")
     if rs:
@@ -513,6 +539,11 @@ def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str 
             firsts[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
         starts = np.flatnonzero(firsts)
         keep = order[starts]
+        if "id1" not in t.column_names:
+            # int-only candidate dedup (slim pipeline): keep sorted (k1, k2)
+            # so downstream hash-verify batches see contiguous k1 runs
+            return pa.table({"k1": pa.array(k1s[firsts], pa.int64()),
+                             "k2": pa.array(k2s[firsts], pa.int64())})
         out_cols = {
             "id1": t.column("id1").take(pa.array(keep)),
             "id2": t.column("id2").take(pa.array(keep)),
@@ -631,6 +662,16 @@ def setsim_self_join(
         if df_table is None:
             df_table = build_df_table(toks_ds)
         df_ref = ray.put(df_table)
+    if broadcast is None:
+        n_records = n_records if n_records is not None else toks_ds.count()
+        from .verify import should_broadcast
+
+        broadcast = should_broadcast(toks_ds, n_records, cfg.broadcast_limit,
+                                     cfg.broadcast_bytes_limit)
+    if broadcast and verify_ref is None:
+        from .verify import collect_token_index
+
+        verify_ref = ray.put(collect_token_index(toks_ds))
     sigs = toks_ds.map_batches(
         _emit_signatures,
         fn_kwargs=dict(
@@ -644,26 +685,27 @@ def setsim_self_join(
         _pairgen_bucket,
         fn_kwargs={"sim": sim, "threshold": threshold,
                    "alpha": length_ratio(sim, threshold),
-                   "max_group_size": cfg.max_group_size},
+                   "max_group_size": cfg.max_group_size,
+                   "ids_out": not broadcast},
         batch_format="pyarrow",
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    if broadcast is None:
-        n_records = n_records if n_records is not None else toks_ds.count()
-        from .verify import should_broadcast
+    if broadcast:
+        # slim pipeline: candidates shuffled as 16-byte (k1, k2) rows; the
+        # hash-keyed verify materializes id strings for survivors only
+        from .verify import verify_pairs_hash
 
-        broadcast = should_broadcast(toks_ds, n_records, cfg.broadcast_limit,
-                                     cfg.broadcast_bytes_limit)
-    verified = verify_pairs(
-        candidates,
-        toks_ds,
-        sim=sim,
-        threshold=threshold,
-        broadcast=broadcast,
-        num_partitions=cfg.pair_partitions,
-        toks_ref=verify_ref,
-        canonicalize_output=True,  # pairgen emits hash-ordered ids
-    )
+        verified = verify_pairs_hash(candidates, verify_ref, [(sim, threshold)])
+    else:
+        verified = verify_pairs(
+            candidates,
+            toks_ds,
+            sim=sim,
+            threshold=threshold,
+            broadcast=False,
+            num_partitions=cfg.pair_partitions,
+            canonicalize_output=True,  # pairgen emits hash-ordered ids
+        )
     if in_join_topk is not None:
         from .topk import topk_pairs
 
@@ -673,6 +715,95 @@ def setsim_self_join(
         ep = _empty_pairs_ds(toks_ds, cfg, ids=empty_ids)
         if ep is not None:
             verified = verified.union(ep)
+    return verified
+
+
+def fused_length_ratio(rules: list[tuple[str, float]]) -> float | None:
+    """Loosest (minimum) length-ratio filter valid for EVERY rule."""
+    alphas = [length_ratio(s, t) for s, t in rules]
+    if any(a is None for a in alphas):
+        return None
+    return min(alphas)
+
+
+def setsim_self_join_multi(
+    toks_ds: "ray.data.Dataset",
+    rules: list[tuple[str, float]],
+    cfg: PipelineConfig,
+    *,
+    df_ref=None,
+    broadcast: bool | None = None,
+    verify_ref=None,
+    empty_ids: list | None = None,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """FUSED multi-rule set-sim self-join: several (sim, threshold) rules over
+    the SAME tokenization run as ONE signature -> pairgen -> dedup -> verify
+    pass.  Signatures/filters use the element-wise loosest bound across rules
+    (candidate superset per rule); verify computes the exact overlap ONCE per
+    pair and emits one {id1, id2, sim} row per (pair, passing rule) — exactly
+    what the single-rule joins would emit in union, so composing the result
+    into pipelines.er.union_rules (pair dedup + passed_rules count + max-sim)
+    is output-identical to running each rule separately.
+
+    Motivation: the reference runs each rule's join serially over shared
+    tokenized datasets (block.cc:204-273 + simjoin_blocker.cc:8-177); at
+    sf0.1 the jac+cos pair of rules spends ~147 s in two nearly identical
+    passes — fusing them reclaims the duplicated signature emission, pair
+    shuffle and overlap computation."""
+    if df_ref is None:
+        df_ref = ray.put(build_df_table(toks_ds))
+    if broadcast is None:
+        n_records = n_records if n_records is not None else toks_ds.count()
+        from .verify import should_broadcast
+
+        broadcast = should_broadcast(toks_ds, n_records, cfg.broadcast_limit,
+                                     cfg.broadcast_bytes_limit)
+    if broadcast and verify_ref is None:
+        from .verify import collect_token_index
+
+        verify_ref = ray.put(collect_token_index(toks_ds))
+    sigs = toks_ds.map_batches(
+        _emit_signatures,
+        fn_kwargs=dict(
+            df_ref=df_ref, rules=rules,
+            pair_partitions=cfg.pair_partitions,
+            salt_df_threshold=cfg.salt_df_threshold, salt_factor=cfg.salt_factor,
+        ),
+        batch_format="pyarrow",
+    )
+    candidates = sigs.groupby("pb").map_groups(
+        _pairgen_bucket,
+        fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
+                   "max_group_size": cfg.max_group_size,
+                   "ids_out": not broadcast},
+        batch_format="pyarrow",
+    )
+    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    if broadcast:
+        from .verify import verify_pairs_hash
+
+        verified = verify_pairs_hash(candidates, verify_ref, rules)
+    else:
+        verified = verify_pairs(
+            candidates,
+            toks_ds,
+            sim=None,
+            threshold=None,
+            rules=rules,
+            broadcast=False,
+            num_partitions=cfg.pair_partitions,
+            canonicalize_output=True,
+        )
+    n_empty_rules = sum(
+        1 for s, t in rules if s in ("jac", "cos", "dice") and t <= 1.0
+    )
+    if cfg.include_empty_pairs and n_empty_rules:
+        ep = _empty_pairs_ds(toks_ds, cfg, ids=empty_ids)
+        if ep is not None:
+            # each qualifying rule contributes the empty clique once (sim 1.0)
+            for _ in range(n_empty_rules):
+                verified = verified.union(ep)
     return verified
 
 

@@ -445,6 +445,111 @@ def grid_search_train(
     return model, {"best_params": best, "cv_scores": dict(zip(map(str, combos), scores))}
 
 
+def _binary_entropy(p: np.ndarray) -> np.ndarray:
+    p = np.clip(p, 1e-12, 1.0 - 1e-12)
+    return -(p * np.log2(p) + (1.0 - p) * np.log2(1.0 - p))
+
+
+def active_learning_train(
+    X: pd.DataFrame,
+    y: np.ndarray,
+    *,
+    seed_size: int = 40,
+    n_estimators: int = 11,
+    max_iteration: int = 30,
+    query_size: int = 20,
+    top_pool: int = 100,
+    epsilon: float = 0.01,
+    max_depth: int = 6,
+    min_leaf: int = 2,
+    seed: int = 42,
+) -> tuple[RandomForest, dict]:
+    """Entropy-weighted active-learning trainer (reference train_model_active,
+    /root/reference/simjoin_entitymatching/matcher/random_forest.py:478-615).
+
+    Re-expressed deterministically: a 3% monitor set tracks mean prediction
+    confidence (1 - binary entropy); each epoch trains on the labeled set H
+    (seeded with a balanced ``seed_size`` sample), then queries the
+    ``query_size`` most-uncertain pool rows — an entropy-weighted sample of
+    the ``top_pool`` highest-entropy rows — and moves them into H.  ``y``
+    supplies the queried labels (the planted gold graph stands in for the
+    human labeler, as in the reference's experiments).  Stopping mirrors the
+    reference's three exits over the width-5-smoothed confidence curve:
+    converged (20 epochs of <= epsilon steps), near-absolute (3 epochs at
+    >= 1-epsilon), degrading (trailing-15 max dropped by >= epsilon).
+
+    Training frames are driver-sized by construction (sampler stage bounds
+    them), so this is a driver-side loop like the reference's."""
+    rng = np.random.default_rng(seed)
+    y = np.asarray(y).astype(np.int64)
+    n = len(X)
+    perm = rng.permutation(n)
+    n_mon = max(1, int(0.03 * n))
+    mon = perm[:n_mon]
+    rest = perm[n_mon:]
+    pos = rest[y[rest] == 1]
+    neg = rest[y[rest] == 0]
+    half = max(1, seed_size // 2)
+    labeled = np.concatenate([pos[:half], neg[:half]])
+    pool = np.setdiff1d(rest, labeled)
+    Xv = np.nan_to_num(X.reset_index(drop=True).to_numpy(np.float64))
+    names = list(X.columns)
+
+    w, lw = 5, 2
+    n_converged, n_high, n_degrade = 20, 3, 15
+    conf = np.zeros(max_iteration)
+    model: RandomForest | None = None
+    stop = "max_iterations"
+    turn = 0
+    for turn in range(max_iteration):
+        model = RandomForest.train(
+            pd.DataFrame(Xv[labeled], columns=names), y[labeled],
+            n_estimators=n_estimators, max_depth=max_depth,
+            min_leaf=min_leaf, seed=seed,
+        )
+        # monitor confidence (smoothed over the trailing window)
+        conf[turn] = float(np.mean(1.0 - _binary_entropy(model.predict_proba(Xv[mon]))))
+        if turn >= w - 1:
+            conf[turn] = float(np.mean(conf[turn - w + 1: turn + 1]))
+        # stopping rules
+        if turn >= n_high - 1 and np.all(conf[turn - n_high + 1: turn + 1] >= 1 - epsilon):
+            stop = "near_absolute_confidence"
+            break
+        if turn >= n_converged - 1 and np.all(
+            np.abs(np.diff(conf[turn - n_converged + 2: turn + 1])) <= epsilon
+        ):
+            stop = "converged_confidence"
+            break
+        if turn >= 2 * n_degrade - 1:
+            w1 = conf[turn + 1 - n_degrade: turn + 1]
+            w2 = conf[turn + 1 - 2 * n_degrade: turn + 1 - n_degrade]
+            if w2.max() - w1.max() >= epsilon:
+                stop = "degrading_confidence"
+                break
+        if pool.size < top_pool:
+            stop = "pool_exhausted"
+            break
+        # entropy-weighted query of the most uncertain pool rows
+        ent = _binary_entropy(model.predict_proba(Xv[pool]))
+        top = pool[np.argsort(-ent, kind="stable")[:top_pool]]
+        wts = _binary_entropy(model.predict_proba(Xv[top]))
+        if wts.sum() <= 0:
+            picked = top[:query_size]
+        else:
+            picked = rng.choice(top, size=min(query_size, top.size),
+                                replace=False, p=wts / wts.sum())
+        labeled = np.concatenate([labeled, picked])
+        pool = np.setdiff1d(pool, picked)
+
+    assert model is not None
+    return model, {
+        "stop": stop,
+        "epochs": turn + 1,
+        "n_labeled": int(labeled.size),
+        "confidence": [round(float(c), 6) for c in conf[: turn + 1]],
+    }
+
+
 # ---------------------------------------------------------------------------
 # KNN post-filter on match results
 # ---------------------------------------------------------------------------

@@ -133,16 +133,55 @@ def overlap_auto(vals, offs, m, r1, r2) -> np.ndarray:
     return overlap_auto_two(vals, offs, vals, offs, m, r1, r2)
 
 
+def _emit_rule_rows(ids1, ids2, ok, sims_keeps, canonicalize_output: bool,
+                    batch: pa.Table) -> pa.Table:
+    """Assemble the output rows of a (possibly multi-rule) verify batch.
+
+    ``sims_keeps``: list of (sim_values_over_ok, keep_mask_over_ok) — one per
+    rule; each passing (pair, rule) yields one output row."""
+    if canonicalize_output:
+        parts1, parts2, partss = [], [], []
+        ids1_ok = ids1[ok]
+        ids2_ok = ids2[ok]
+        for s, keep in sims_keeps:
+            a = ids1_ok[keep].astype("U")
+            b = ids2_ok[keep].astype("U")
+            swap = a > b
+            parts1.append(np.where(swap, b, a))
+            parts2.append(np.where(swap, a, b))
+            partss.append(s[keep])
+        return pa.table({
+            "id1": pa.array(np.concatenate(parts1) if parts1 else np.empty(0, "U1"), pa.string()),
+            "id2": pa.array(np.concatenate(parts2) if parts2 else np.empty(0, "U1"), pa.string()),
+            "sim": pa.array(np.concatenate(partss) if partss else np.empty(0, np.float64), pa.float64()),
+        })
+    # filter the original Arrow columns so id types (string / int64 / ...)
+    # pass through unchanged
+    outs = []
+    for s, keep in sims_keeps:
+        mask = ok.copy()
+        mask[ok] = keep
+        out = batch.select(["id1", "id2"]).filter(pa.array(mask))
+        outs.append(out.append_column("sim", pa.array(s[keep], type=pa.float64())))
+    return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+
 def broadcast_verify_batch(
-    batch: pa.Table, *, toks_ref, sim: str, threshold: float,
-    canonicalize_output: bool = False,
+    batch: pa.Table, *, toks_ref, sim: str | None = None,
+    threshold: float | None = None, canonicalize_output: bool = False,
+    rules: list[tuple[str, float]] | None = None,
 ) -> pa.Table:
     """Stateless verify task: token index fetched once per worker process
     (get_broadcast; zero-copy plasma) — no actor-pool CPU reservation.
 
     ``canonicalize_output``: blocking self-joins emit HASH-ordered pairs for
     shuffle/kernel locality; the survivors are swapped back to lexicographic
-    (id1 < id2) here."""
+    (id1 < id2) here.
+
+    ``rules``: fused multi-rule mode — the exact overlap (the dominant cost)
+    is computed ONCE per pair, then each rule's sim is derived arithmetically
+    and one output row is emitted per (pair, passing rule)."""
+    rl = rules if rules is not None else [(sim, threshold)]
     index, vals, offs, m = get_broadcast(toks_ref)
     ids1 = batch.column("id1").to_numpy(zero_copy_only=False)
     ids2 = batch.column("id2").to_numpy(zero_copy_only=False)
@@ -153,42 +192,30 @@ def broadcast_verify_batch(
     ovlp = overlap_auto(vals, offs, m, r1, r2)
     la = np.diff(offs)[r1]
     lb = np.diff(offs)[r2]
-    s = ovlp.astype(np.float64) if sim == "overlap" else S.set_sims_from_overlap(ovlp, la, lb, sim)
-    keep = s >= threshold
-    mask = ok.copy()
-    mask[ok] = keep
-    if canonicalize_output:
-        a = ids1[mask].astype("U")
-        b = ids2[mask].astype("U")
-        swap = a > b
-        return pa.table({
-            "id1": pa.array(np.where(swap, b, a), pa.string()),
-            "id2": pa.array(np.where(swap, a, b), pa.string()),
-            "sim": pa.array(s[keep], pa.float64()),
-        })
-    # filter the original Arrow columns so id types (string / int64 / ...)
-    # pass through unchanged
-    out = batch.select(["id1", "id2"]).filter(pa.array(mask))
-    return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
+    sims_keeps = []
+    for s_name, thr in rl:
+        s = ovlp.astype(np.float64) if s_name == "overlap" else S.set_sims_from_overlap(ovlp, la, lb, s_name)
+        sims_keeps.append((s, s >= thr))
+    return _emit_rule_rows(ids1, ids2, ok, sims_keeps, canonicalize_output, batch)
 
 
-def _verify_joined(batch: pa.Table, sim: str, threshold: float,
-                   canonicalize_output: bool = False) -> pa.Table:
+def _verify_joined(batch: pa.Table, sim: str | None = None,
+                   threshold: float | None = None,
+                   canonicalize_output: bool = False,
+                   rules: list[tuple[str, float]] | None = None) -> pa.Table:
+    rl = rules if rules is not None else [(sim, threshold)]
     va, oa = S.flatten_lists(batch.column("toks1"))
     vb, ob = S.flatten_lists(batch.column("toks2"))
-    s = _sim_batch(va, oa, vb, ob, sim)
-    keep = s >= threshold
-    if canonicalize_output:
-        a = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)[keep].astype("U")
-        b = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)[keep].astype("U")
-        swap = a > b
-        return pa.table({
-            "id1": pa.array(np.where(swap, b, a), pa.string()),
-            "id2": pa.array(np.where(swap, a, b), pa.string()),
-            "sim": pa.array(s[keep], pa.float64()),
-        })
-    out = batch.select(["id1", "id2"]).filter(pa.array(keep))
-    return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
+    ovlp = S.pair_overlap(va, oa, vb, ob)
+    la, lb = np.diff(oa), np.diff(ob)
+    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    ok = np.ones(ids1.size, bool)
+    sims_keeps = []
+    for s_name, thr in rl:
+        s = ovlp.astype(np.float64) if s_name == "overlap" else S.set_sims_from_overlap(ovlp, la, lb, s_name)
+        sims_keeps.append((s, s >= thr))
+    return _emit_rule_rows(ids1, ids2, ok, sims_keeps, canonicalize_output, batch)
 
 
 def _rename(ds, mapping):
@@ -205,24 +232,29 @@ def verify_pairs(
     pairs_ds: "ray.data.Dataset",
     toks_ds: "ray.data.Dataset",
     *,
-    sim: str,
-    threshold: float,
+    sim: str | None,
+    threshold: float | None,
     broadcast: bool = True,
     num_partitions: int = 64,
     concurrency=None,
     toks_ref=None,
     canonicalize_output: bool = False,
+    rules: list[tuple[str, float]] | None = None,
 ) -> "ray.data.Dataset":
     """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold.
 
     ``toks_ref`` may carry a pre-built ``ray.put(collect_token_index(...))``
-    so several rules over the same tokenization share ONE broadcast index."""
+    so several rules over the same tokenization share ONE broadcast index.
+
+    ``rules``: fused multi-rule mode — one output row per (pair, passing
+    rule), overlap computed once (see broadcast_verify_batch)."""
     if broadcast:
         ref = toks_ref if toks_ref is not None else ray.put(collect_token_index(toks_ds))
         return pairs_ds.map_batches(
             broadcast_verify_batch,
             fn_kwargs=dict(toks_ref=ref, sim=sim, threshold=threshold,
-                           canonicalize_output=canonicalize_output),
+                           canonicalize_output=canonicalize_output,
+                           rules=rules),
             batch_format="pyarrow",
             # 8k pairs keeps per-batch gather temporaries under glibc's 32 MB
             # dynamic-mmap-reuse threshold: at 32-way concurrency the larger
@@ -245,8 +277,97 @@ def verify_pairs(
     return joined.map_batches(
         _verify_joined,
         fn_kwargs={"sim": sim, "threshold": threshold,
-                   "canonicalize_output": canonicalize_output},
+                   "canonicalize_output": canonicalize_output,
+                   "rules": rules},
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# hash-keyed verification (slim int-only candidate pipeline)
+# ---------------------------------------------------------------------------
+
+_IDH_INDEX_CACHE: dict = {}
+
+
+def _idh_token_index(toks_ref):
+    """Per-worker cache deriving a 64-bit-id-hash-keyed view of the broadcast
+    token index: int64 ``Index.get_indexer`` runs the vectorized integer hash
+    path (~5x faster than object-string lookups), and candidate pairs can be
+    shuffled as 16-byte (k1, k2) rows with id strings materialized only for
+    survivors.  Uniqueness of the id hashes is asserted — the pair pipeline
+    already keys dedup and self-pair exclusion on them (blocking._pairgen),
+    so a collision would corrupt results upstream of this stage anyway."""
+    from ..functions.hashing import hash_strings
+
+    key = toks_ref.hex() if hasattr(toks_ref, "hex") else id(toks_ref)
+    got = _IDH_INDEX_CACHE.get(key)
+    if got is None:
+        index, vals, offs, m = get_broadcast(toks_ref)
+        ids = np.asarray(index.to_numpy(), dtype=object)
+        hidx = pd.Index(hash_strings(ids))
+        if not hidx.is_unique:
+            raise RuntimeError(
+                "64-bit id-hash collision in verify index; the blocking "
+                "pipeline's hash-keyed dedup is unsound for this id set"
+            )
+        got = (hidx, ids, vals, offs, m)
+        _IDH_INDEX_CACHE[key] = got
+    return got
+
+
+def hash_verify_batch(
+    batch: pa.Table, *, toks_ref, rules: list[tuple[str, float]],
+) -> pa.Table:
+    """Verify (k1, k2) id-hash candidate pairs against the broadcast token
+    index; emits lex-canonicalized {id1, id2, sim} — one row per (pair,
+    passing rule).  The exact overlap (dominant cost) is computed once."""
+    hidx, all_ids, vals, offs, m = _idh_token_index(toks_ref)
+    k1 = np.asarray(batch.column("k1"), dtype=np.int64)
+    k2 = np.asarray(batch.column("k2"), dtype=np.int64)
+    r1 = hidx.get_indexer(k1)
+    r2 = hidx.get_indexer(k2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    r1, r2 = r1[ok], r2[ok]
+    ovlp = overlap_auto(vals, offs, m, r1, r2)
+    lens = np.diff(offs)
+    la, lb = lens[r1], lens[r2]
+    parts1, parts2, partss = [], [], []
+    for s_name, thr in rules:
+        s = (ovlp.astype(np.float64) if s_name == "overlap"
+             else S.set_sims_from_overlap(ovlp, la, lb, s_name))
+        keep = s >= thr
+        if not keep.any():
+            continue
+        a = all_ids[r1[keep]].astype("U")
+        b = all_ids[r2[keep]].astype("U")
+        swap = a > b
+        parts1.append(np.where(swap, b, a))
+        parts2.append(np.where(swap, a, b))
+        partss.append(s[keep])
+    if not parts1:
+        return pa.table({"id1": pa.array([], pa.string()),
+                         "id2": pa.array([], pa.string()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.table({
+        "id1": pa.array(np.concatenate(parts1), pa.string()),
+        "id2": pa.array(np.concatenate(parts2), pa.string()),
+        "sim": pa.array(np.concatenate(partss), pa.float64()),
+    })
+
+
+def verify_pairs_hash(
+    pairs_ds: "ray.data.Dataset",
+    toks_ref,
+    rules: list[tuple[str, float]],
+) -> "ray.data.Dataset":
+    """Exact-verify int-keyed (k1, k2) candidate pairs (broadcast index only;
+    the string-join path for beyond-broadcast scale is verify_pairs)."""
+    return pairs_ds.map_batches(
+        hash_verify_batch,
+        fn_kwargs=dict(toks_ref=toks_ref, rules=rules),
+        batch_format="pyarrow",
+        batch_size=8192,  # see broadcast_verify_batch note on glibc mmap
     )
 
 

@@ -216,3 +216,20 @@ def test_knn_filter_matches(ray_session):
     assert out[("r1", "r3")] == 0      # cross cluster -> demoted
     assert out[("r3", "r4")] == 1      # same cluster -> kept
     assert out[("r2", "r4")] == 0      # was negative -> untouched
+
+
+def test_active_learning_trains_with_few_labels():
+    """Active learner (train_model_active semantics) must reach the accuracy
+    of full-data training while labeling only a fraction of the pool."""
+    from entityblockingbysimilarityjoins_ray.stages.matcher import active_learning_train
+
+    X, y = _toy_features(n=2000, seed=7)
+    model, info = active_learning_train(X, y, seed_size=40, max_iteration=15)
+    assert info["n_labeled"] < len(X) * 0.2, info
+    p = (model.predict_proba(X.to_numpy()) >= 0.5).astype(int)
+    acc = (p == y).mean()
+    assert acc >= 0.97, (acc, info)
+    # deterministic under seed
+    m2, info2 = active_learning_train(X, y, seed_size=40, max_iteration=15)
+    assert info == info2
+    assert np.array_equal(model.predict_proba(X.to_numpy()), m2.predict_proba(X.to_numpy()))

@@ -116,6 +116,24 @@ def test_determinism_across_partitioning(tiny_fixture):
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_fused_multi_rule_equals_separate_union(tiny_docs):
+    """setsim_self_join_multi (one fused signature->pairgen->verify pass)
+    must be output-identical — pairs, passed_rules counts AND max-sim — to
+    running each rule's join separately and unioning."""
+    docs, _ = tiny_docs
+    cfg = _cfg()
+    toks = B.tokenize_docs(docs, "doc", "dlm", 3).materialize()
+    rules = [("jac", 0.5), ("cos", 0.55), ("overlap", 3.0)]
+    fused = B.setsim_self_join_multi(toks, rules, cfg)
+    seps = [B.setsim_self_join(toks, sim=s, threshold=t, cfg=cfg) for s, t in rules]
+
+    def norm(ds):
+        return (union_rules([ds] if not isinstance(ds, list) else ds, cfg)
+                .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(fused), norm(seps))
+
+
 def test_topk_trigger_valve(tiny_docs):
     """pretopKviaTASelf semantics: the top-K cap fires ONLY above the
     trigger size (blocker_util.cc:111-129)."""
