@@ -297,6 +297,55 @@ class ValueEmbedder:
         return out / np.maximum(nrm, 1e-30)
 
 
+class PretrainedEmbedder(ValueEmbedder):
+    """Pre-trained word-vector embedder — the reference's fastText / word2vec
+    / GloVe value matchers (value_matcher/fasttext.py:22-33, word2vec.py,
+    glove.py:11-41) behind the same embed() surface as ValueEmbedder.
+
+    - GloVe text format ("token v1 .. vn" lines) loads natively with numpy —
+      no third-party dependency.
+    - word2vec / fastText binary models need gensim, which this sandbox does
+      not ship: the loaders try the import and raise a documented
+      NotImplementedError otherwise (the Ray-side plumbing — broadcast via
+      ray.put, actor-pool map_batches inference — is identical to
+      ValueEmbedder and fully exercised by group_values_trained)."""
+
+    def __init__(self, tok: str = "dlm"):
+        super().__init__(tok=tok)
+
+    def load_glove(self, path: str) -> "PretrainedEmbedder":
+        toks, rows = [], []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(" ")
+                if len(parts) < 2:
+                    continue
+                toks.append(parts[0])
+                rows.append(np.asarray(parts[1:], np.float64))
+        self.vocab = pd.Index(toks)
+        self.vectors = np.vstack(rows) if rows else np.zeros((0, 1))
+        self.dim = int(self.vectors.shape[1])
+        return self
+
+    def load_word2vec(self, path: str, binary: bool = True) -> "PretrainedEmbedder":
+        try:
+            from gensim.models import KeyedVectors  # type: ignore
+        except ImportError as exc:  # pragma: no cover - gensim absent here
+            raise NotImplementedError(
+                "word2vec/fastText loading needs gensim, which is not "
+                "available in this environment; use load_glove (text "
+                "vectors) or the trainable ValueEmbedder"
+            ) from exc
+        kv = KeyedVectors.load_word2vec_format(path, binary=binary)
+        self.vocab = pd.Index(kv.index_to_key)
+        self.vectors = np.asarray(kv.vectors, np.float64)
+        self.dim = int(self.vectors.shape[1])
+        return self
+
+    def train(self, values: np.ndarray) -> "PretrainedEmbedder":
+        raise NotImplementedError("pre-trained embedder: load_glove/load_word2vec")
+
+
 def group_values_trained(
     matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
     *, tau: float = 0.8, dim: int = 64, num_partitions: int = 32,

@@ -181,3 +181,20 @@ def test_extract_features_ic_max_over_group(ray_session):
              .to_pandas().set_index(["id1", "id2"]))
     for c in ("head_jac_dlm", "head_overlap_dlm", "head_exm_none", "head_lev_none"):
         assert out.loc[("c", "d"), c] == plain.loc[("c", "d"), c]
+
+
+def test_pretrained_glove_embedder(tmp_path):
+    """GloVe text vectors load natively and drive the same embed() surface."""
+    import numpy as np
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import PretrainedEmbedder
+
+    p = tmp_path / "vecs.txt"
+    p.write_text("alpha 1.0 0.0\nbeta 0.0 1.0\ngamma 1.0 1.0\n")
+    emb = PretrainedEmbedder().load_glove(str(p))
+    assert emb.dim == 2 and len(emb.vocab) == 3
+    M = emb.embed(np.array(["alpha beta", "gamma", "unknown-token"], dtype=object))
+    # mean of alpha+beta == normalized gamma direction
+    assert np.allclose(M[0], M[1])
+    assert np.allclose(np.linalg.norm(M[:2], axis=1), 1.0)
+    assert np.allclose(M[2], 0.0)
