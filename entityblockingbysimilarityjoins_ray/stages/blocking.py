@@ -851,12 +851,13 @@ def exact_self_join(
             {"id1": np.where(swap, b, a), "id2": np.where(swap, a, b), "sim": 1.0}
         )
 
-    out = (
+    # no dedup shuffle needed: each value hash lives in exactly one pb
+    # bucket, so a pair of equal-valued records is emitted exactly once
+    return (
         docs.map_batches(sig, batch_format="pandas")
         .groupby("pb")
         .map_groups(pairs, batch_format="pandas")
     )
-    return dedupe_pairs(out, cfg.pair_partitions)
 
 
 def anm_self_join(
@@ -1036,8 +1037,9 @@ def exact_rs_join(
     sigs = docs_a.map_batches(sig(0), batch_format="pandas").union(
         docs_b.map_batches(sig(1), batch_format="pandas")
     )
-    out = sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
-    return dedupe_pairs(out, cfg.pair_partitions)
+    # no dedup shuffle: one pb bucket per value hash -> each A x B pair of an
+    # equal value is emitted exactly once
+    return sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
 
 
 def anm_rs_join(
