@@ -12,6 +12,8 @@ centroid partitions.  Recall < 1 by construction (standard IVF semantics).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -121,36 +123,31 @@ def _kmeans(M: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarra
     return C
 
 
-def ann_topk_ivf(
-    emb: "ray.data.Dataset",
-    query_ids: np.ndarray,
-    *,
-    id_col="vec_id",
-    vec_col="embedding",
-    k=10,
-    n_centroids=16,
-    nprobe=4,
-    sample_rows=20000,
-    seed=42,
-) -> pd.DataFrame:
-    """IVF cosine top-k: centroids trained on a driver-side sample, vectors
-    routed to their nearest-centroid partition, queries probe the `nprobe`
-    closest partitions only (approximate; standard IVF recall/latency
-    trade-off)."""
-    sample = emb.limit(sample_rows)
+def _train_centroids(
+    emb: "ray.data.Dataset", *, id_col, vec_col, n_centroids, sample_rows, seed
+) -> np.ndarray:
+    """Deterministic, unbiased centroid training sample: keep rows whose
+    Knuth-hashed id falls in a 1/mod stratum (streams; no order bias like
+    ``limit()``), then k-means on the driver (sample_rows x d only)."""
     from .verify import collect_arrow
 
-    stbl = collect_arrow(sample)
-    C = _kmeans(_normalize(_vec_matrix(stbl, vec_col)), n_centroids, seed=seed)
-    c_ref = ray.put(C)
+    n = emb.count()
+    mod = max(1, n // max(1, sample_rows))
 
-    def route(t: pa.Table) -> pa.Table:
-        M = _normalize(_vec_matrix(t, vec_col))
-        cen = np.argmax(M @ ray.get(c_ref).T, axis=1).astype(np.int32)
-        return t.append_column("cell", pa.array(cen, pa.int32()))
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(mod)
+        return t.filter(pa.array(h == 0))
 
-    routed = emb.map_batches(route, batch_format="pyarrow")
-    # queries + their probe cells
+    stbl = collect_arrow(emb.map_batches(pick, batch_format="pyarrow"))
+    return _kmeans(_normalize(_vec_matrix(stbl, vec_col)), n_centroids, seed=seed)
+
+
+def _query_probe_ref(emb, query_ids, *, id_col, vec_col, C, nprobe):
+    """Collect the (tiny) query vectors + their nprobe nearest cells and
+    broadcast once."""
+    from .verify import collect_arrow
+
     qtbl = collect_arrow(
         emb.map_batches(
             lambda t: t.filter(
@@ -163,41 +160,163 @@ def ann_topk_ivf(
     q_ids = np.asarray(qtbl.column(id_col).to_numpy(zero_copy_only=False))
     Q = _normalize(_vec_matrix(qtbl, vec_col))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
-    q_ref = ray.put((q_ids, Q, probe))
+    return ray.put((q_ids, Q, probe))
 
-    def cell_score(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import get_broadcast
 
-        q_ids, Q, probe = get_broadcast(q_ref)
-        cell = int(t.column("cell")[0].as_py())
+_EMPTY_SCORES = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+
+
+def _ivf_batch_score(t: pa.Table, *, q_ref, c_ref, id_col, vec_col, kk,
+                     cell_col=None) -> pa.Table:
+    """Shuffle-free IVF scoring: assign each vector in the batch to its cell
+    (or read a precomputed cell column), then for every cell present score
+    ONLY the queries probing that cell.  Output is a per-batch partial top-kk
+    per query — merged on the driver like the brute-force path.  Same
+    candidate set as a route-shuffle-groupby IVF, at full block parallelism
+    with zero data movement."""
+    from ..functions.hashing import get_broadcast
+
+    if t.num_rows == 0:
+        return _EMPTY_SCORES
+    q_ids, Q, probe = get_broadcast(q_ref)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+    M = _normalize(_vec_matrix(t, vec_col))
+    if cell_col is not None:
+        # hive partition columns read back as strings — normalize to int
+        cells = np.asarray(t.column(cell_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+    else:
+        C = get_broadcast(c_ref)
+        cells = np.argmax(M @ C.T, axis=1)
+    oq, oi, osim = [], [], []
+    for cell in np.unique(cells):
+        rows = np.flatnonzero(cells == cell)
         qsel = np.flatnonzero((probe == cell).any(axis=1))
-        if qsel.size == 0 or t.num_rows == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-        M = _normalize(_vec_matrix(t, vec_col))
-        sims = Q[qsel] @ M.T
-        kk = min(k + 1, ids.size)
-        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        oq, oi, osim = [], [], []
+        if qsel.size == 0:
+            continue
+        sims = Q[qsel] @ M[rows].T  # (nq_probing, n_cell_rows)
+        kcap = min(kk, rows.size)
+        part = np.argpartition(-sims, kth=kcap - 1, axis=1)[:, :kcap]
         for row, qi in enumerate(qsel):
             cols = part[row]
-            oq.append(np.full(kk, q_ids[qi]))
-            oi.append(ids[cols])
+            oq.append(np.full(kcap, q_ids[qi]))
+            oi.append(ids[rows[cols]])
             osim.append(sims[row, cols])
-        return pa.table({"query_id": pa.array(np.concatenate(oq)),
-                         "neighbor_id": pa.array(np.concatenate(oi)),
-                         "sim": pa.array(np.concatenate(osim), pa.float64())})
+    if not oq:
+        return _EMPTY_SCORES
+    return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                     "neighbor_id": pa.array(np.concatenate(oi)),
+                     "sim": pa.array(np.concatenate(osim), pa.float64())})
 
-    parts = (
-        routed.groupby("cell")
-        .map_groups(cell_score, batch_format="pyarrow")
-        .to_pandas()
-    )
+
+def _merge_partials(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     parts = parts[parts["query_id"] != parts["neighbor_id"]]
     parts = parts.sort_values(
         ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="stable"
     )
     parts["rank"] = parts.groupby("query_id").cumcount() + 1
     return parts[parts["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def ann_topk_ivf(
+    emb: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    *,
+    id_col="vec_id",
+    vec_col="embedding",
+    k=10,
+    n_centroids=16,
+    nprobe=4,
+    sample_rows=20000,
+    seed=42,
+) -> pd.DataFrame:
+    """IVF cosine top-k, shuffle-free: centroids trained on a deterministic
+    hash sample, then ONE map_batches pass where each batch scores only the
+    (cell, probing-query) combinations present — no route shuffle, no
+    groupby, parallelism = number of blocks.  Matmul work is cut to ~nprobe/
+    n_centroids of brute force; pair with ``ivf_build_index`` to also cut
+    the READ to the probed partitions (the true scale path)."""
+    C = _train_centroids(emb, id_col=id_col, vec_col=vec_col,
+                         n_centroids=n_centroids, sample_rows=sample_rows, seed=seed)
+    c_ref = ray.put(C)
+    q_ref = _query_probe_ref(emb, query_ids, id_col=id_col, vec_col=vec_col,
+                             C=C, nprobe=nprobe)
+    parts = emb.map_batches(
+        _ivf_batch_score,
+        fn_kwargs=dict(q_ref=q_ref, c_ref=c_ref, id_col=id_col,
+                       vec_col=vec_col, kk=k + 1),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).to_pandas()
+    return _merge_partials(parts, k)
+
+
+def ivf_build_index(
+    emb: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    id_col="vec_id",
+    vec_col="embedding",
+    n_centroids=16,
+    sample_rows=20000,
+    seed=42,
+) -> np.ndarray:
+    """One-time IVF index build: route every vector to its nearest centroid
+    and write Parquet **hive-partitioned by cell** so queries prune whole
+    partitions at the read (only nprobe/n_centroids of the bytes leave
+    storage).  Returns the centroid matrix; persist it next to the index."""
+    C = _train_centroids(emb, id_col=id_col, vec_col=vec_col,
+                         n_centroids=n_centroids, sample_rows=sample_rows, seed=seed)
+    c_ref = ray.put(C)
+
+    def route(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import get_broadcast
+
+        M = _normalize(_vec_matrix(t, vec_col))
+        cen = np.argmax(M @ get_broadcast(c_ref).T, axis=1).astype(np.int32)
+        # "cell" becomes the partition directory; "cell_id" stays in the file
+        # so probed reads (which prune by PATH) still see the assignment
+        t = t.append_column("cell", pa.array(cen, pa.int32()))
+        return t.append_column("cell_id", pa.array(cen, pa.int32()))
+
+    emb.map_batches(route, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    # sibling file, NOT inside out_dir — read_parquet(out_dir) must only see parquet
+    np.save(out_dir.rstrip("/") + "_centroids.npy", C)
+    return C
+
+
+def ann_topk_ivf_index(
+    index_dir: str,
+    query_ids: np.ndarray,
+    *,
+    id_col="vec_id",
+    vec_col="embedding",
+    k=10,
+    nprobe=4,
+) -> pd.DataFrame:
+    """Query a prebuilt IVF index: read ONLY the queries' probe partitions —
+    pruning whole ``cell=N/`` directories at the PATH level, so non-probed
+    bytes never leave storage — score each batch against the probing
+    queries, merge partial top-k on the driver."""
+    C = np.load(index_dir.rstrip("/") + "_centroids.npy")
+    full = ray.data.read_parquet(index_dir, columns=[id_col, vec_col])
+    q_ref = _query_probe_ref(full, query_ids, id_col=id_col, vec_col=vec_col,
+                             C=C, nprobe=nprobe)
+    q_ids, Q, probe = ray.get(q_ref)
+    cells = sorted({int(c) for c in probe.ravel()})
+    import glob as _glob
+
+    paths = [f for c in cells
+             for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))]
+    probed = ray.data.read_parquet(paths, columns=[id_col, vec_col, "cell_id"])
+    parts = probed.map_batches(
+        _ivf_batch_score,
+        fn_kwargs=dict(q_ref=q_ref, c_ref=None, id_col=id_col,
+                       vec_col=vec_col, kk=k + 1, cell_col="cell_id"),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).to_pandas()
+    return _merge_partials(parts, k)
