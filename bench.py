@@ -55,10 +55,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from entityblockingbysimilarityjoins_ray.pipelines.er import run_pipeline
 
-    # pair-level fanout 8x cores: verify-stage weight (pairs x partner len)
-    # is skewed across k1 buckets, so finer pair partitions balance it;
-    # canonicalize/groupby fanout stays at 2x cores
-    pair_parts = max(64, num_cpus * 8)
+    # pair-level fanout 64x cores: with INLINE verify the pairgen task does
+    # candidate gen + exact verify for its bucket, so fine partitions are the
+    # straggler control (swept at sf0.1: 2048 beats 256 by ~1.6x at 32 cpus)
+    pair_parts = max(256, num_cpus * 64)
     cfg = PipelineConfig(
         num_buckets=max(32, num_cpus * 2),
         pair_partitions=pair_parts,

@@ -60,7 +60,7 @@ class PipelineConfig:
         default_factory=lambda: [BlockingRule(attr="doc", sim="jac", tok="dlm", threshold=0.5)]
     )
     pair_partitions: int = 64  # hash-bucket fanout for pair-level stages
-    salt_df_threshold: int = 5000  # tokens hotter than this get triangle salting
+    salt_df_threshold: int = 1000  # tokens hotter than this get triangle salting
     salt_factor: int = 8  # number of salt shards for hot tokens
     max_group_size: int | None = None  # cap on records per blocking key (None = exact)
     broadcast_limit: int = 2_000_000  # max records for broadcast verify (else Dataset.join)

@@ -340,6 +340,7 @@ def _pairgen_bucket(
     max_group_size: int | None, chunk_pairs: int = 262_144, rs: bool = False,
     rules: list[tuple[str, float]] | None = None,
     ids_out: bool = True,
+    verify_ref=None,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -367,11 +368,15 @@ def _pairgen_bucket(
     idh_raw = np.asarray(t.column("idh"), dtype=np.int64)
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
     pos = np.asarray(t.column("pos"), dtype=np.int64)
-    empty = pa.table(
-        {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
-        if not ids_out else
-        {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-         "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
+    if verify_ref is not None:
+        from .verify import _EMPTY_RULE_ROWS
+        empty = _EMPTY_RULE_ROWS
+    else:
+        empty = pa.table(
+            {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
+            if not ids_out else
+            {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+             "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     if tok.size == 0:
         return empty
 
@@ -479,6 +484,13 @@ def _pairgen_bucket(
     first = np.ones(k1s.size, bool)
     first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
     keep_idx = order2[first]
+    if verify_ref is not None and not rs:
+        # INLINE verify (broadcast index): the locally-deduped candidates of
+        # this bucket are verified here, in k1-sorted order (bitmap-kernel
+        # run locality for free), and only survivor rows leave the task —
+        # the 16-byte-per-candidate all-to-all shuffle disappears.
+        from .verify import hash_verify_rules
+        return hash_verify_rules(k1s[first], k2s[first], verify_ref, rl)
     if not ids_out and not rs:
         # slim int-only emission: the candidate shuffle carries 16-byte
         # (k1, k2) hash pairs; the hash-keyed verify stage materializes id
@@ -561,6 +573,42 @@ def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str 
 
     return (
         pairs.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dd, batch_format="pyarrow")
+    )
+
+
+def dedupe_rule_rows(rows: "ray.data.Dataset", num_partitions: int):
+    """Global dedup of inline-verified survivor rows on (k1, k2, rule): the
+    same (pair, rule) may surface from several pair-generation buckets (one
+    per shared signature token); exactly one {id1, id2, sim} row per
+    (pair, passing rule) must remain so downstream passed_rules counting
+    stays exact.  The input is tiny (survivors only), so this shuffle is
+    negligible."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        return t.append_column("pb", pa.array(bucket_of(k1, num_partitions), pa.int32()))
+
+    def dd(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        rr = np.asarray(t.column("rule"), dtype=np.int64)
+        order = np.lexsort((rr, k2, k1))
+        k1s, k2s, rs_ = k1[order], k2[order], rr[order]
+        first = np.ones(k1s.size, bool)
+        if k1s.size:
+            first[1:] = ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+                         | (rs_[1:] != rs_[:-1]))
+        keep = pa.array(order[first])
+        return pa.table({
+            "id1": t.column("id1").take(keep),
+            "id2": t.column("id2").take(keep),
+            "sim": t.column("sim").take(keep),
+        })
+
+    return (
+        rows.map_batches(add_pb, batch_format="pyarrow")
         .groupby("pb")
         .map_groups(dd, batch_format="pyarrow")
     )
@@ -681,22 +729,29 @@ def setsim_self_join(
         ),
         batch_format="pyarrow",
     )
-    candidates = sigs.groupby("pb").map_groups(
-        _pairgen_bucket,
-        fn_kwargs={"sim": sim, "threshold": threshold,
-                   "alpha": length_ratio(sim, threshold),
-                   "max_group_size": cfg.max_group_size,
-                   "ids_out": not broadcast},
-        batch_format="pyarrow",
-    )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     if broadcast:
-        # slim pipeline: candidates shuffled as 16-byte (k1, k2) rows; the
-        # hash-keyed verify materializes id strings for survivors only
-        from .verify import verify_pairs_hash
-
-        verified = verify_pairs_hash(candidates, verify_ref, [(sim, threshold)])
+        # INLINE-verify pipeline: candidates are verified inside the pairgen
+        # task (broadcast index, k1-sorted run locality); only survivor rows
+        # shuffle, deduped globally per (pair, rule)
+        rows = sigs.groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"sim": sim, "threshold": threshold,
+                       "alpha": length_ratio(sim, threshold),
+                       "max_group_size": cfg.max_group_size,
+                       "verify_ref": verify_ref},
+            batch_format="pyarrow",
+        )
+        verified = dedupe_rule_rows(rows, cfg.pair_partitions)
     else:
+        candidates = sigs.groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"sim": sim, "threshold": threshold,
+                       "alpha": length_ratio(sim, threshold),
+                       "max_group_size": cfg.max_group_size,
+                       "ids_out": True},
+            batch_format="pyarrow",
+        )
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
         verified = verify_pairs(
             candidates,
             toks_ds,
@@ -772,19 +827,24 @@ def setsim_self_join_multi(
         ),
         batch_format="pyarrow",
     )
-    candidates = sigs.groupby("pb").map_groups(
-        _pairgen_bucket,
-        fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
-                   "max_group_size": cfg.max_group_size,
-                   "ids_out": not broadcast},
-        batch_format="pyarrow",
-    )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     if broadcast:
-        from .verify import verify_pairs_hash
-
-        verified = verify_pairs_hash(candidates, verify_ref, rules)
+        rows = sigs.groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
+                       "max_group_size": cfg.max_group_size,
+                       "verify_ref": verify_ref},
+            batch_format="pyarrow",
+        )
+        verified = dedupe_rule_rows(rows, cfg.pair_partitions)
     else:
+        candidates = sigs.groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
+                       "max_group_size": cfg.max_group_size,
+                       "ids_out": True},
+            batch_format="pyarrow",
+        )
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
         verified = verify_pairs(
             candidates,
             toks_ds,
