@@ -43,6 +43,68 @@ class BlockingRule:
         return f"{self.attr}_{self.sim}_{tokpart}_{self.threshold:g}"
 
 
+def rule_from_feature_name(feature_name: str, threshold: float,
+                           sign: str = "+") -> BlockingRule:
+    """Parse one reference feature name ``attr_attr_sim_tok[_dcN]`` (e.g.
+    ``title_title_jac_dlm_dc0``) into a BlockingRule — the grammar of
+    /root/reference/simjoin_entitymatching/blocker/graph.py:296-302.
+    Single-attr forms ``attr_sim_tok`` and ``attr_exm``/``attr_anm``/
+    ``attr_lev`` are accepted too."""
+    parts = feature_name.split("_")
+    # strip trailing tokenizer-setting suffix like dc0
+    if parts and parts[-1].startswith("dc") and parts[-1][2:].isdigit():
+        parts = parts[:-1]
+    q = 3
+    tok = "none"
+    if parts and (parts[-1] in TOKENIZERS or parts[-1].startswith("qgm")):
+        t = parts.pop()
+        if t.startswith("qgm"):
+            tok = "qgm"
+            if t[3:].isdigit():
+                q = int(t[3:])
+        else:
+            tok = t
+    if not parts or parts[-1] not in SIM_FUNCS:
+        raise ValueError(f"cannot parse feature name {feature_name!r}")
+    sim = parts.pop()
+    # duplicated attr (Megallen ltable/rtable naming) collapses to one
+    if len(parts) >= 2 and parts[-1] == parts[-2]:
+        parts = parts[:-1]
+    attr = "_".join(parts)
+    if not attr:
+        raise ValueError(f"no attribute in feature name {feature_name!r}")
+    return BlockingRule(attr=attr, sim=sim, tok=tok, q=q,
+                        threshold=threshold, sign=sign)
+
+
+def rules_from_text(text: str) -> list[BlockingRule]:
+    """Parse a reference ``rules.txt``: first line = rule count, then one
+    ``feature_name sign threshold`` line per rule
+    (/root/reference/simjoin_entitymatching/blocker/extract_formula.py:6-14,
+    read by RuleReader::readRules /root/reference/cpp/common/io.h:93)."""
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return []
+    try:
+        n = int(lines[0])
+        body = lines[1:1 + n]
+    except ValueError:  # headerless variant: every line is a rule
+        body = lines
+    rules = []
+    for ln in body:
+        fields = ln.split()
+        if len(fields) != 3:
+            raise ValueError(f"bad rule line {ln!r} (want 'name sign threshold')")
+        name, sign, thr = fields
+        rules.append(rule_from_feature_name(name, float(thr), sign))
+    return rules
+
+
+def rules_from_file(path: str) -> list[BlockingRule]:
+    with open(path) as f:
+        return rules_from_text(f.read())
+
+
 @dataclass
 class PipelineConfig:
     """Knobs for the end-to-end ER pipeline.

@@ -484,11 +484,14 @@ def _pairgen_bucket(
     first = np.ones(k1s.size, bool)
     first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
     keep_idx = order2[first]
-    if verify_ref is not None and not rs:
+    if verify_ref is not None:
         # INLINE verify (broadcast index): the locally-deduped candidates of
         # this bucket are verified here, in k1-sorted order (bitmap-kernel
         # run locality for free), and only survivor rows leave the task —
         # the 16-byte-per-candidate all-to-all shuffle disappears.
+        if rs:
+            from .verify import hash_verify_rules_rs
+            return hash_verify_rules_rs(k1s[first], k2s[first], verify_ref, rl)
         from .verify import hash_verify_rules
         return hash_verify_rules(k1s[first], k2s[first], verify_ref, rl)
     if not ids_out and not rs:
@@ -1027,23 +1030,39 @@ def setsim_rs_join(
     sigs_b = toks_b.map_batches(
         _emit_signatures, fn_kwargs=dict(common, rs_side=1), batch_format="pyarrow"
     )
-    candidates = sigs_a.union(sigs_b).groupby("pb").map_groups(
-        _pairgen_bucket,
-        fn_kwargs={"sim": sim, "threshold": threshold,
-                   "alpha": length_ratio(sim, threshold),
-                   "max_group_size": cfg.max_group_size, "rs": True},
-        batch_format="pyarrow",
-    )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     if broadcast is None:
         n_records = n_records if n_records is not None else toks_a.count() + toks_b.count()
         broadcast = n_records <= cfg.broadcast_limit
-    from .verify import verify_pairs_rs
+    if broadcast:
+        # INLINE verify against the two-sided broadcast index (see the
+        # self-join path): only survivor rows shuffle, deduped per pair
+        from .verify import collect_token_index_rs
 
-    verified = verify_pairs_rs(
-        candidates, toks_a, toks_b, sim=sim, threshold=threshold,
-        broadcast=broadcast, num_partitions=cfg.pair_partitions,
-    )
+        verify_ref = ray.put(collect_token_index_rs(toks_a, toks_b))
+        rows = sigs_a.union(sigs_b).groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"sim": sim, "threshold": threshold,
+                       "alpha": length_ratio(sim, threshold),
+                       "max_group_size": cfg.max_group_size, "rs": True,
+                       "verify_ref": verify_ref},
+            batch_format="pyarrow",
+        )
+        verified = dedupe_rule_rows(rows, cfg.pair_partitions)
+    else:
+        candidates = sigs_a.union(sigs_b).groupby("pb").map_groups(
+            _pairgen_bucket,
+            fn_kwargs={"sim": sim, "threshold": threshold,
+                       "alpha": length_ratio(sim, threshold),
+                       "max_group_size": cfg.max_group_size, "rs": True},
+            batch_format="pyarrow",
+        )
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+        from .verify import verify_pairs_rs
+
+        verified = verify_pairs_rs(
+            candidates, toks_a, toks_b, sim=sim, threshold=threshold,
+            broadcast=False, num_partitions=cfg.pair_partitions,
+        )
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
         ea = empty_record_ids(toks_a)
         eb = empty_record_ids(toks_b)

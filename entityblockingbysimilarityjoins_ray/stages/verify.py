@@ -478,6 +478,76 @@ def broadcast_verify_rs_batch(batch: pa.Table, *, toks_ref, sim: str, threshold:
     return out.append_column("sim", pa.array(s[keep], type=pa.float64()))
 
 
+_IDH_INDEX_RS_CACHE: dict = {}
+
+
+def _idh_token_index_rs(toks_ref):
+    """Per-worker 64-bit-id-hash-keyed view of the two-sided RS broadcast
+    index (A-side and B-side hashed separately; same uniqueness contract as
+    _idh_token_index)."""
+    from ..functions.hashing import hash_strings
+
+    key = toks_ref.hex() if hasattr(toks_ref, "hex") else id(toks_ref)
+    got = _IDH_INDEX_RS_CACHE.get(key)
+    if got is None:
+        index_a, va, oa, index_b, vb, ob, m = get_broadcast(toks_ref)
+        ids_a = np.asarray(index_a.to_numpy(), dtype=object)
+        ids_b = np.asarray(index_b.to_numpy(), dtype=object)
+        ha = pd.Index(hash_strings(ids_a))
+        hb = pd.Index(hash_strings(ids_b))
+        if not (ha.is_unique and hb.is_unique):
+            raise RuntimeError("64-bit id-hash collision in RS verify index")
+        got = (ha, ids_a, va, oa, hb, ids_b, vb, ob, m)
+        _IDH_INDEX_RS_CACHE[key] = got
+    return got
+
+
+def hash_verify_rules_rs(k1: np.ndarray, k2: np.ndarray, toks_ref,
+                         rules: list[tuple[str, float]],
+                         chunk: int = 16384) -> pa.Table:
+    """RS counterpart of hash_verify_rules: (k1 = hash of A id, k2 = hash of
+    B id) pairs verified inline against the two-sided broadcast index; emits
+    {id1, id2, sim, rule, k1, k2} in (A, B) order — no canonicalization
+    across tables."""
+    if k1.size > chunk:
+        parts = [hash_verify_rules_rs(k1[i:i + chunk], k2[i:i + chunk],
+                                      toks_ref, rules, chunk=chunk)
+                 for i in range(0, k1.size, chunk)]
+        return pa.concat_tables(parts)
+    ha, ids_a, va, oa, hb, ids_b, vb, ob, m = _idh_token_index_rs(toks_ref)
+    r1 = ha.get_indexer(k1)
+    r2 = hb.get_indexer(k2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    r1, r2 = r1[ok], r2[ok]
+    k1, k2 = k1[ok], k2[ok]
+    ovlp = overlap_auto_two(va, oa, vb, ob, m, r1, r2)
+    la = np.diff(oa)[r1]
+    lb = np.diff(ob)[r2]
+    p1, p2, ps, pr, pk1, pk2 = [], [], [], [], [], []
+    for ri, (s_name, thr) in enumerate(rules):
+        s = (ovlp.astype(np.float64) if s_name == "overlap"
+             else S.set_sims_from_overlap(ovlp, la, lb, s_name))
+        keep = s >= thr
+        if not keep.any():
+            continue
+        p1.append(ids_a[r1[keep]].astype("U"))
+        p2.append(ids_b[r2[keep]].astype("U"))
+        ps.append(s[keep])
+        pr.append(np.full(int(keep.sum()), ri, np.int32))
+        pk1.append(k1[keep])
+        pk2.append(k2[keep])
+    if not p1:
+        return _EMPTY_RULE_ROWS
+    return pa.table({
+        "id1": pa.array(np.concatenate(p1), pa.string()),
+        "id2": pa.array(np.concatenate(p2), pa.string()),
+        "sim": pa.array(np.concatenate(ps), pa.float64()),
+        "rule": pa.array(np.concatenate(pr), pa.int32()),
+        "k1": pa.array(np.concatenate(pk1), pa.int64()),
+        "k2": pa.array(np.concatenate(pk2), pa.int64()),
+    })
+
+
 def verify_pairs_rs(
     pairs_ds: "ray.data.Dataset",
     toks_a: "ray.data.Dataset",

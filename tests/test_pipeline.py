@@ -151,3 +151,23 @@ def test_topk_trigger_valve(tiny_docs):
     # trigger below the union size -> cap fires
     out2 = block(docs, PipelineConfig(**base, topk=10, topk_trigger=1))
     assert out2.count() == 10
+
+
+def test_rules_from_text_reference_grammar():
+    """rules.txt: count + 'feature_name sign threshold' lines
+    (extract_formula.py:6-14; io.h:93); name grammar attr_attr_sim_tok
+    (graph.py:296-302)."""
+    from entityblockingbysimilarityjoins_ray.config import (
+        rule_from_feature_name, rules_from_text)
+
+    rules = rules_from_text("""2
+title_title_jac_dlm_dc0 + 0.7
+head_head_lev_none + 2
+""")
+    assert [(r.attr, r.sim, r.tok, r.threshold) for r in rules] == [
+        ("title", "jac", "dlm", 0.7), ("head", "lev", "none", 2.0)]
+    r = rule_from_feature_name("doc_doc_cos_qgm5_dc0", 0.6)
+    assert (r.attr, r.sim, r.tok, r.q) == ("doc", "cos", "qgm", 5)
+    # headerless variant + single-attr forms
+    rules = rules_from_text("n_turns_anm + 0.8")
+    assert [(r.attr, r.sim) for r in rules] == [("n_turns", "anm")]
