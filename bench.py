@@ -36,6 +36,11 @@ def _init_ray(num_cpus: int):
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # default read fan-out (200 blocks) overslices the small local inputs
+    # into ~170-row blocks, multiplying per-task overhead across every
+    # downstream stage; 2 blocks/cpu is plenty for pipelining here, and at
+    # real scale block count is data-driven anyway
+    ctx.read_op_min_num_blocks = num_cpus * 2
     logging.getLogger("ray.data").setLevel(logging.WARNING)
 
 

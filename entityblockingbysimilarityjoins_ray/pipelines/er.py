@@ -68,15 +68,21 @@ class _SetsimShared:
                                          self.cfg.broadcast_bytes_limit)
             entry = {
                 "toks": toks,
-                "df_ref": _ray.put(B.build_df_table(toks)),
                 "broadcast": broadcast,
                 "verify_ref": None,
                 "empty_ids": B.empty_record_ids(toks) if self.cfg.include_empty_pairs else [],
             }
             if broadcast:
-                from ..stages.verify import collect_token_index
+                # ONE driver collect yields both the verify index and the
+                # global df table (bincount over dense labels) — the
+                # distributed df pass is skipped entirely
+                from ..stages.verify import collect_token_index_with_df
 
-                entry["verify_ref"] = _ray.put(collect_token_index(toks))
+                idx, df_table = collect_token_index_with_df(toks)
+                entry["verify_ref"] = _ray.put(idx)
+                entry["df_ref"] = _ray.put(df_table)
+            else:
+                entry["df_ref"] = _ray.put(B.build_df_table(toks))
             self._by_key[key] = entry
         return self._by_key[key]
 

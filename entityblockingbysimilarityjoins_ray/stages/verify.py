@@ -86,6 +86,24 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     return index, labels, offs, int(uni.size) + 1
 
 
+def collect_token_index_with_df(toks_ds: "ray.data.Dataset", min_df: int = 2):
+    """collect_token_index + the global df table derived FREE from the same
+    pass: per-row token bags are already deduped, so df(token) is one
+    bincount over the dense labels — the broadcast path skips the whole
+    distributed df-aggregation pass (build_df_table) this way.
+    Returns ((index, labels, offs, m), (df_toks_sorted, df_vals))."""
+    tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
+    ids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    vals, offs = S.flatten_lists(tbl.column("toks"))
+    uni = np.unique(vals)
+    dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
+    labels = np.searchsorted(uni, vals).astype(dt)
+    df = np.bincount(labels, minlength=uni.size)
+    keep = df >= min_df  # df=1 widow tokens can't form a pair (removeWidow)
+    return ((pd.Index(ids), labels, offs, int(uni.size) + 1),
+            (uni[keep], df[keep].astype(np.int64)))
+
+
 def gather_lists(vals: np.ndarray, offs: np.ndarray, rows: np.ndarray):
     """Select rows from a flattened list column -> new (vals, offs)."""
     lens = np.diff(offs)[rows]
