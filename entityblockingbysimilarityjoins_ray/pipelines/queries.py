@@ -864,14 +864,19 @@ FROM events GROUP BY 1, 2"""
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing (rows-only): deterministic fake decode over a
-    synthesized binary media table; real decode is stubbed (no PIL here)."""
+    """Multimodal decode (rows-only): REAL pure-numpy PPM/BMP/WAV decode over
+    a deterministic binary media table (actor pool, small batches);
+    compressed formats surface as status='unsupported' rows, never crashes
+    (stages/multimodal.py)."""
     from ..stages.multimodal import decode_media, synthesize_media
 
     media = ray.data.from_arrow(synthesize_media(200))
-    out = decode_media(media, fake=True)
+    out = decode_media(media)
     return out.map_batches(
         lambda t: pa.table({"media_id": t.column("media_id"),
+                            "status": t.column("status"),
+                            "decoded_w": t.column("decoded_w"),
+                            "decoded_h": t.column("decoded_h"),
                             "payload_bytes": t.column("payload_bytes")}),
         batch_format="pyarrow",
     )
