@@ -159,3 +159,34 @@ def test_in_join_topk_cap(tiny_docs, ray_session):
     assert len(got) == k
     import pandas.testing as pdt
     pdt.assert_frame_equal(got[["id1", "id2", "sim"]], exp[["id1", "id2", "sim"]])
+
+
+def test_broadcast_and_join_paths_identical(tiny_docs, toks_dlm):
+    """The inline-verify (broadcast) path and the two-hash-join (beyond-
+    broadcast) path must emit the SAME pair set with the same sims."""
+    a = setsim_self_join(toks_dlm, sim="jac", threshold=0.5, cfg=CFG,
+                         broadcast=True).to_pandas()
+    b = setsim_self_join(toks_dlm, sim="jac", threshold=0.5, cfg=CFG,
+                         broadcast=False).to_pandas()
+    ka = a.sort_values(["id1", "id2"]).reset_index(drop=True)
+    kb = b.sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ka[["id1", "id2"]], kb[["id1", "id2"]])
+    np.testing.assert_allclose(ka["sim"].to_numpy(), kb["sim"].to_numpy(), atol=1e-12)
+
+
+def test_multi_rule_fused_equals_single_rule_union(tiny_docs, toks_dlm):
+    """Fused multi-rule join == union of single-rule joins, row-for-row
+    (one row per pair per passing rule)."""
+    from entityblockingbysimilarityjoins_ray.stages.blocking import setsim_self_join_multi
+
+    cfg = PipelineConfig(num_buckets=8, pair_partitions=8, salt_df_threshold=40,
+                         salt_factor=4, include_empty_pairs=False)
+    fused = setsim_self_join_multi(toks_dlm, [("jac", 0.5), ("cos", 0.7)], cfg).to_pandas()
+    singles = pd.concat([
+        setsim_self_join(toks_dlm, sim="jac", threshold=0.5, cfg=cfg).to_pandas(),
+        setsim_self_join(toks_dlm, sim="cos", threshold=0.7, cfg=cfg).to_pandas(),
+    ])
+    key = ["id1", "id2", "sim"]
+    fa = fused[key].round(12).sort_values(key).reset_index(drop=True)
+    sa = singles[key].round(12).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, sa)
