@@ -173,6 +173,15 @@ SELECT id1, id2, o * 1.0 / (la + lb - o) AS sim FROM pairsims
 WHERE o * 1.0 / (la + lb - o) >= 0.5"""
 
 
+def q_block_dice(sf_dir: str):
+    return _block_setsim(sf_dir, "dice", 0.65)
+
+
+SQL_BLOCK_DICE = f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE}, {_SIZES_CTE}, {_INTER_CTE}, {_PAIR_SIMS}
+SELECT id1, id2, 2.0 * o / (la + lb) AS sim FROM pairsims
+WHERE 2.0 * o / (la + lb) >= 0.65"""
+
+
 def q_block_overlap(sf_dir: str):
     return _block_setsim(sf_dir, "overlap", 8)
 
@@ -890,6 +899,7 @@ QUERIES = {
     "canonicalize": q_canonicalize,
     "token_df": q_token_df,
     "block_jac": q_block_jac,
+    "block_dice": q_block_dice,
     "block_overlap": q_block_overlap,
     "block_exm_head": q_block_exm_head,
     "block_anm_turns": q_block_anm_turns,
@@ -931,6 +941,7 @@ ORACLES = {
     "canonicalize": SQL_CANONICALIZE,
     "token_df": SQL_TOKEN_DF,
     "block_jac": SQL_BLOCK_JAC,
+    "block_dice": SQL_BLOCK_DICE,
     "block_overlap": SQL_BLOCK_OVERLAP,
     "block_exm_head": SQL_BLOCK_EXM_HEAD,
     "block_anm_turns": SQL_BLOCK_ANM,
