@@ -343,6 +343,36 @@ SQL_BLOCK_OVERLAP_RS = f"""WITH {_DOCS_CTE}, {_RS_CTES}
 SELECT id1, id2, o * 1.0 AS sim FROM pairsrs WHERE o >= 8"""
 
 
+def q_block_jac_weighted_rs(sf_dir: str):
+    """IDF-weighted jaccard RS join: combined A ∪ B dictionary
+    (RStableAttr2IntVector semantics), weighted grid-salted prefix filter,
+    exact weighted verify; sims rounded to 9 decimals on both sides."""
+    from ..stages.weighted import setsim_rs_join_weighted
+
+    a, b = _rs_docs(sf_dir)
+    toks_a = B.tokenize_docs(a, "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(b, "doc", "dlm").materialize()
+    return setsim_rs_join_weighted(toks_a, toks_b, sim="jac", threshold=0.4,
+                                   cfg=_cfg(), round_to=9)
+
+
+SQL_BLOCK_JAC_WEIGHTED_RS = f"""WITH {_DOCS_CTE}, {_RS_CTES},
+alltoks AS (SELECT * FROM toksa UNION ALL SELECT * FROM toksb),
+n AS (SELECT ((SELECT count(*) FROM suba) + (SELECT count(*) FROM subb))::DOUBLE AS nrec),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM alltoks GROUP BY tok),
+tokwa AS (SELECT a.conv_id, a.tok, log10((SELECT nrec FROM n) / d.df) AS w
+          FROM toksa a JOIN dfs d ON a.tok = d.tok),
+tokwb AS (SELECT b.conv_id, b.tok, log10((SELECT nrec FROM n) / d.df) AS w
+          FROM toksb b JOIN dfs d ON b.tok = d.tok),
+recwa AS (SELECT conv_id, sum(w) AS wrec FROM tokwa GROUP BY conv_id),
+recwb AS (SELECT conv_id, sum(w) AS wrec FROM tokwb GROUP BY conv_id),
+interw AS (SELECT a.conv_id AS id1, b.conv_id AS id2, sum(a.w) AS ow
+           FROM tokwa a JOIN tokwb b ON a.tok = b.tok GROUP BY 1, 2)
+SELECT i.id1, i.id2, round(i.ow / (ra.wrec + rb.wrec - i.ow), 9) AS sim
+FROM interw i JOIN recwa ra ON i.id1 = ra.conv_id JOIN recwb rb ON i.id2 = rb.conv_id
+WHERE round(i.ow / (ra.wrec + rb.wrec - i.ow), 9) >= 0.4"""
+
+
 def q_block_exm_rs(sf_dir: str):
     a, b = _rs_docs(sf_dir)
     return B.exact_rs_join(a, b, "head", _cfg()).select_columns(["id1", "id2"])
@@ -907,6 +937,7 @@ QUERIES = {
     "block_rules_union": q_block_rules_union,
     "block_fused_union": q_block_fused_union,
     "block_jac_weighted": q_block_jac_weighted,
+    "block_jac_weighted_rs": q_block_jac_weighted_rs,
     "block_jac_rs": q_block_jac_rs,
     "block_overlap_rs": q_block_overlap_rs,
     "block_exm_rs": q_block_exm_rs,
@@ -949,6 +980,7 @@ ORACLES = {
     "block_rules_union": SQL_BLOCK_RULES_UNION,
     "block_fused_union": SQL_BLOCK_FUSED_UNION,
     "block_jac_weighted": SQL_BLOCK_JAC_WEIGHTED,
+    "block_jac_weighted_rs": SQL_BLOCK_JAC_WEIGHTED_RS,
     "block_jac_rs": SQL_BLOCK_JAC_RS,
     "block_overlap_rs": SQL_BLOCK_OVERLAP_RS,
     "block_exm_rs": SQL_BLOCK_EXM_RS,

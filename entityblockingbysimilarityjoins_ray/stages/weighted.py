@@ -90,6 +90,7 @@ def _weight_ratio(sim: str, threshold: float) -> float:
 def _emit_weighted_signatures(
     batch: pa.Table, *, wt_ref, sim: str, threshold: float,
     pair_partitions: int, salt_df_threshold: int, salt_factor: int,
+    rs_side: int | None = None,
 ) -> pa.Table:
     """Per-record weighted prefix signatures: (pb, tok, cell, side, id, idh,
     wlen = record weight, wrem = tail weight after this token, wtok)."""
@@ -139,8 +140,10 @@ def _emit_weighted_signatures(
     # (default_wt = log10 N)
     w_cut = default_wt - np.log10(max(float(salt_df_threshold), 1.0))
     hot = wtok_e < w_cut
+    base_side = np.int8(0 if rs_side in (None, 0) else 1)
     cells = [(tok_e[~hot], row_e[~hot], wrem_e[~hot], wtok_e[~hot],
-              np.zeros(int((~hot).sum()), np.int32), np.zeros(int((~hot).sum()), np.int8))]
+              np.zeros(int((~hot).sum()), np.int32),
+              np.full(int((~hot).sum()), base_side, np.int8))]
     if hot.any() and salt_factor > 1:
         ht, hr, hw, hwt = tok_e[hot], row_e[hot], wrem_e[hot], wtok_e[hot]
         s = salt_factor
@@ -148,11 +151,21 @@ def _emit_weighted_signatures(
         hw_r, hwt_r = np.repeat(hw, s), np.repeat(hwt, s)
         v = np.tile(np.arange(s, dtype=np.int64), ht.size)
         u = u_of[hr_r]
-        i = np.minimum(u, v)
-        j = np.maximum(u, v)
-        cell = (i * s + j + 1).astype(np.int32)
-        side = np.where(u <= v, 0, 1).astype(np.int8)
-        side = np.where(u == v, 0, side).astype(np.int8)
+        if rs_side is None:
+            # triangle replication (self-join)
+            i = np.minimum(u, v)
+            j = np.maximum(u, v)
+            cell = (i * s + j + 1).astype(np.int32)
+            side = np.where(u <= v, 0, 1).astype(np.int8)
+            side = np.where(u == v, 0, side).astype(np.int8)
+        elif rs_side == 0:
+            # A side: own shard u, replicate across partner shards v
+            cell = (u * s + v + 1).astype(np.int32)
+            side = np.zeros(ht_r.size, np.int8)
+        else:
+            # B side: own shard v(=u_of), replicate across all u
+            cell = (v * s + u + 1).astype(np.int32)
+            side = np.ones(ht_r.size, np.int8)
         cells.append((ht_r, hr_r, hw_r, hwt_r, cell, side))
     tok_all = np.concatenate([c[0] for c in cells])
     row_all = np.concatenate([c[1] for c in cells])
@@ -177,10 +190,11 @@ def _emit_weighted_signatures(
 
 
 def _pairgen_weighted(
-    t: pa.Table, *, sim: str, threshold: float, alpha: float,
+    t: pa.Table, *, sim: str, threshold: float, alpha: float, rs: bool = False,
 ) -> pa.Table:
     """Within-bucket weighted candidate generation (weight + positional
-    filters), mirroring blocking._pairgen_bucket for float weights."""
+    filters), mirroring blocking._pairgen_bucket for float weights.
+    ``rs``: two-table mode — only cross-side pairs, (A, B) order kept."""
     empty = pa.table({"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
                       "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     tok = np.asarray(t.column("tok"), dtype=np.int64)
@@ -215,19 +229,21 @@ def _pairgen_weighted(
         mask = np.minimum(wa, wb) >= alpha * np.maximum(wa, wb) - _EPS
         T = _pair_min_weight(sim, threshold, wa, wb)
         mask &= wtok[ii] + np.minimum(wrem[ii], wrem[jj]) >= T - _EPS
-        mask &= idh[ii] != idh[jj]
+        if not rs:
+            mask &= idh[ii] != idh[jj]
         out_i.append(ii[mask])
         out_j.append(jj[mask])
 
     tri = nb == 0
-    z = na[tri]
-    s0 = starts[tri]
-    i1, j1 = within_group_pairs(z)
-    if i1.size:
-        rel = np.concatenate(([0], np.cumsum(z)[:-1]))
-        npg = z * (z - 1) // 2
-        g = np.repeat(np.arange(z.size), npg)
-        emit(i1 + s0[g] - rel[g], j1 + s0[g] - rel[g])
+    if not rs:  # RS: single-side groups have no cross pairs
+        z = na[tri]
+        s0 = starts[tri]
+        i1, j1 = within_group_pairs(z)
+        if i1.size:
+            rel = np.concatenate(([0], np.cumsum(z)[:-1]))
+            npg = z * (z - 1) // 2
+            g = np.repeat(np.arange(z.size), npg)
+            emit(i1 + s0[g] - rel[g], j1 + s0[g] - rel[g])
     cross = ~tri
     i2, j2 = bipartite_pairs(starts[cross], na[cross], starts[cross] + na[cross], nb[cross])
     if i2.size:
@@ -238,8 +254,11 @@ def _pairgen_weighted(
     ii = np.concatenate(out_i)
     jj = np.concatenate(out_j)
     h1, h2 = idh[ii], idh[jj]
-    k1 = np.minimum(h1, h2)
-    k2 = np.maximum(h1, h2)
+    if rs:
+        k1, k2 = h1, h2  # distinct tables — keep (A, B) order
+    else:
+        k1 = np.minimum(h1, h2)
+        k2 = np.maximum(h1, h2)
     order2 = np.lexsort((k2, k1))
     k1s, k2s = k1[order2], k2[order2]
     first = np.ones(k1s.size, bool)
@@ -247,10 +266,15 @@ def _pairgen_weighted(
     keep_idx = order2[first]
     a_ids = ids[ii[keep_idx]].astype("U")
     b_ids = ids[jj[keep_idx]].astype("U")
-    swap = a_ids > b_ids
+    if rs:
+        id1, id2 = a_ids, b_ids
+    else:
+        swap = a_ids > b_ids
+        id1 = np.where(swap, b_ids, a_ids)
+        id2 = np.where(swap, a_ids, b_ids)
     return pa.table(
-        {"id1": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
-         "id2": pa.array(np.where(swap, a_ids, b_ids), pa.string()),
+        {"id1": pa.array(id1, pa.string()),
+         "id2": pa.array(id2, pa.string()),
          "k1": pa.array(k1s[first], pa.int64()),
          "k2": pa.array(k2s[first], pa.int64())}
     )
@@ -334,6 +358,93 @@ def setsim_self_join_weighted(
     toks_ref = ray.put(weighted_token_index(toks_ds))
     return candidates.map_batches(
         _verify_weighted,
+        fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
+                       threshold=threshold, round_to=round_to),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+def weighted_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset"):
+    """Two-sided weighted verify index (ORIGINAL token hashes — no dense
+    relabel — so the IDF weight lookup works on both sides)."""
+    from .verify import collect_arrow
+
+    ta = collect_arrow(toks_a.select_columns(["conv_id", "toks"]))
+    tb = collect_arrow(toks_b.select_columns(["conv_id", "toks"]))
+    ids_a = np.asarray(ta.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    ids_b = np.asarray(tb.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    va, oa = S.flatten_lists(ta.column("toks"))
+    vb, ob = S.flatten_lists(tb.column("toks"))
+    return pd.Index(ids_a), va, oa, pd.Index(ids_b), vb, ob
+
+
+def _verify_weighted_rs(batch: pa.Table, *, toks_ref, wt_ref, sim, threshold,
+                        round_to) -> pa.Table:
+    from .verify import gather_lists
+
+    index_a, vals_a, offs_a, index_b, vals_b, offs_b = get_broadcast(toks_ref)
+    wt_toks, wt_vals, default_wt = get_broadcast(wt_ref)
+    ids1 = np.asarray(batch.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+    ids2 = np.asarray(batch.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+    r1 = index_a.get_indexer(ids1)
+    r2 = index_b.get_indexer(ids2)
+    ok = (r1 >= 0) & (r2 >= 0)
+    r1, r2 = r1[ok], r2[ok]
+    va, oa = gather_lists(vals_a, offs_a, r1)
+    vb, ob = gather_lists(vals_b, offs_b, r2)
+    ovlp_w = S.pair_weighted_overlap(va, oa, vb, ob, wt_toks, wt_vals, default_wt)
+    wa = S.record_weights(va, oa, wt_toks, wt_vals, default_wt)
+    wb = S.record_weights(vb, ob, wt_toks, wt_vals, default_wt)
+    s = S.weighted_set_sims(ovlp_w, wa, wb, sim)
+    if round_to is not None:
+        s = np.round(s, round_to)
+    keep = s >= threshold
+    mask = ok.copy()
+    mask[ok] = keep
+    out = batch.select(["id1", "id2"]).filter(pa.array(mask))
+    return out.append_column("sim", pa.array(s[keep], pa.float64()))
+
+
+def setsim_rs_join_weighted(
+    toks_a: "ray.data.Dataset",
+    toks_b: "ray.data.Dataset",
+    *,
+    sim: str,
+    threshold: float,
+    cfg: PipelineConfig,
+    round_to: int | None = 9,
+) -> "ray.data.Dataset":
+    """IDF-weighted RS (A x B) set-similarity join: weighted sim >= threshold,
+    output {id1(A), id2(B), sim}.  Weights use the COMBINED dictionary —
+    df over A ∪ B, wordwt = log10((|A|+|B|)/df) — mirroring the reference's
+    RS tokenizer (RStableAttr2IntVector, tokenizer.cc:240-411) and its
+    isWeighted join paths (simfunc.h:37-38)."""
+    from .blocking import build_df_table, dedupe_pairs
+
+    n = toks_a.count() + toks_b.count()
+    df_table = build_df_table(toks_a.union(toks_b))
+    wt_ref = ray.put(word_weights(df_table, n))
+    common = dict(wt_ref=wt_ref, sim=sim, threshold=threshold,
+                  pair_partitions=cfg.pair_partitions,
+                  salt_df_threshold=cfg.salt_df_threshold,
+                  salt_factor=cfg.salt_factor)
+    sigs_a = toks_a.map_batches(
+        _emit_weighted_signatures, fn_kwargs=dict(common, rs_side=0),
+        batch_format="pyarrow")
+    sigs_b = toks_b.map_batches(
+        _emit_weighted_signatures, fn_kwargs=dict(common, rs_side=1),
+        batch_format="pyarrow")
+    candidates = sigs_a.union(sigs_b).groupby("pb").map_groups(
+        _pairgen_weighted,
+        fn_kwargs={"sim": sim, "threshold": threshold,
+                   "alpha": _weight_ratio(sim, threshold), "rs": True},
+        batch_format="pyarrow",
+    )
+    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    toks_ref = ray.put(weighted_token_index_rs(toks_a, toks_b))
+    return candidates.map_batches(
+        _verify_weighted_rs,
         fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
                        threshold=threshold, round_to=round_to),
         batch_format="pyarrow",

@@ -69,3 +69,71 @@ def test_weighted_join_salted_is_exact(tiny_docs):
         toks, sim="jac", threshold=0.4, cfg=_cfg(salt_df_threshold=2, salt_factor=4)
     ).to_pandas()
     assert set(zip(base["id1"], base["id2"])) == set(zip(salted["id1"], salted["id2"]))
+
+
+def _oracle_weighted_rs(pa_docs, pb_docs, attr, sim, threshold):
+    """Combined-dictionary weights (df over A ∪ B, N = |A|+|B|)."""
+    ta = {r["conv_id"]: set(oracle_tokens(r[attr], "dlm")) for _, r in pa_docs.iterrows()}
+    tb = {r["conv_id"]: set(oracle_tokens(r[attr], "dlm")) for _, r in pb_docs.iterrows()}
+    n = len(ta) + len(tb)
+    df: dict = {}
+    for s in list(ta.values()) + list(tb.values()):
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    w = {t: math.log10(n / d) for t, d in df.items()}
+    out = set()
+    for a, sa in ta.items():
+        wa = sum(w[t] for t in sa)
+        for b, sb in tb.items():
+            wb = sum(w[t] for t in sb)
+            ow = sum(w[t] for t in sa & sb)
+            if wa == 0 and wb == 0:
+                continue
+            if sim == "jac":
+                s = ow / (wa + wb - ow) if (wa + wb - ow) else 0.0
+            elif sim == "cos":
+                s = ow / math.sqrt(wa * wb) if wa * wb else 0.0
+            else:
+                s = 2 * ow / (wa + wb)
+            if round(s, 9) >= threshold:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("sim,threshold", [("jac", 0.4), ("cos", 0.5)])
+def test_weighted_rs_join_matches_bruteforce(tiny_docs, sim, threshold):
+    from entityblockingbysimilarityjoins_ray.stages.weighted import setsim_rs_join_weighted
+
+    docs, pdocs = tiny_docs
+    suffix = pdocs["conv_id"].str[4:].astype(int)
+    pa_docs = pdocs[suffix % 2 == 0]
+    pb_docs = pdocs[suffix % 2 == 1]
+    da = ray.data.from_pandas(pa_docs.reset_index(drop=True))
+    db = ray.data.from_pandas(pb_docs.reset_index(drop=True))
+    toks_a = B.tokenize_docs(da, "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(db, "doc", "dlm").materialize()
+    got = setsim_rs_join_weighted(
+        toks_a, toks_b, sim=sim, threshold=threshold, cfg=_cfg(), round_to=9
+    ).to_pandas()
+    got_pairs = set(zip(got["id1"], got["id2"]))
+    exp = _oracle_weighted_rs(pa_docs, pb_docs, "doc", sim, threshold)
+    assert got_pairs == exp
+
+
+def test_weighted_rs_salted_is_exact(tiny_docs):
+    """Grid salting must not change the weighted RS pair set."""
+    from entityblockingbysimilarityjoins_ray.stages.weighted import setsim_rs_join_weighted
+
+    docs, pdocs = tiny_docs
+    suffix = pdocs["conv_id"].str[4:].astype(int)
+    da = ray.data.from_pandas(pdocs[suffix % 2 == 0].reset_index(drop=True))
+    db = ray.data.from_pandas(pdocs[suffix % 2 == 1].reset_index(drop=True))
+    toks_a = B.tokenize_docs(da, "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(db, "doc", "dlm").materialize()
+    plain = setsim_rs_join_weighted(
+        toks_a, toks_b, sim="jac", threshold=0.4,
+        cfg=_cfg(salt_df_threshold=10**9), round_to=9).to_pandas()
+    salted = setsim_rs_join_weighted(
+        toks_a, toks_b, sim="jac", threshold=0.4,
+        cfg=_cfg(salt_df_threshold=3, salt_factor=4), round_to=9).to_pandas()
+    assert set(zip(plain["id1"], plain["id2"])) == set(zip(salted["id1"], salted["id2"]))
