@@ -158,6 +158,62 @@ SQL_TOKEN_DF = f"""WITH {_DOCS_CTE}, sub AS (SELECT * FROM docs), {_TOKS_CTE}
 SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok HAVING count(*) >= 2"""
 
 
+def q_token_df_qgram(sf_dir: str):
+    """q-gram (q=3) token string -> document frequency (df >= 2) on the head
+    attribute: windows of maximal alphanumeric runs, per-record dedup +
+    partial combine before the groupby (string2TokensQGram semantics,
+    tokenizer.cc:49-86; the hashed production path is tokenize_array)."""
+    d = _docs(sf_dir, subset=True)
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t.column("head"), "")
+        la = pc.split_pattern_regex(arr, pattern="[^a-zA-Z0-9]+")
+        la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+        offs = np.asarray(la.offsets)
+        rows = np.repeat(np.arange(len(la)), np.diff(offs))
+        flat = la.flatten()
+        runs = pd.Series(np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object))
+        lens = runs.str.len().to_numpy()
+        keep = lens >= 3
+        runs, rows, lens = runs[keep].reset_index(drop=True), rows[keep], lens[keep]
+        parts = []
+        # vectorized per window offset (bounded by the longest run)
+        for i in range(int(lens.max()) - 2 if len(lens) else 0):
+            ok = lens >= i + 3
+            parts.append(pd.DataFrame({"r": rows[ok],
+                                       "tok": runs[ok].str.slice(i, i + 3).to_numpy()}))
+        if not parts:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        df = pd.concat(parts).drop_duplicates()
+        part = df.groupby("tok", sort=False).size().reset_index(name="df")
+        return pa.table({"tok": pa.array(part["tok"], pa.string()),
+                         "df": pa.array(part["df"].to_numpy(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = d.map_batches(explode, batch_format="pyarrow").groupby("tok").aggregate(
+        Sum("df", alias_name="df")
+    )
+    import pyarrow.compute as _pc
+
+    return agg.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("df"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_DF_QGRAM = f"""WITH {_DOCS_CTE}, {_SUB_CTE},
+runs AS (SELECT conv_id, unnest(list_filter(
+  string_split_regex(head, '[^a-zA-Z0-9]+'), x -> length(x) >= 3)) AS run FROM sub),
+series AS (SELECT CAST(i AS INTEGER) AS i FROM
+           generate_series(1, 4096) AS t(i)),
+grams AS (SELECT DISTINCT conv_id, substr(run, i, 3) AS tok
+          FROM runs JOIN series ON i <= length(run) - 2)
+SELECT tok, count(*)::BIGINT AS df FROM grams GROUP BY tok HAVING count(*) >= 2"""
+
+
 def _block_setsim(sf_dir: str, sim: str, threshold: float):
     d = _docs(sf_dir, subset=True)
     toks = B.tokenize_docs(d, "doc", "dlm")
@@ -928,6 +984,7 @@ def q_multimodal_decode(sf_dir: str):
 QUERIES = {
     "canonicalize": q_canonicalize,
     "token_df": q_token_df,
+    "token_df_qgram": q_token_df_qgram,
     "block_jac": q_block_jac,
     "block_dice": q_block_dice,
     "block_overlap": q_block_overlap,
@@ -971,6 +1028,7 @@ QUERIES = {
 ORACLES = {
     "canonicalize": SQL_CANONICALIZE,
     "token_df": SQL_TOKEN_DF,
+    "token_df_qgram": SQL_TOKEN_DF_QGRAM,
     "block_jac": SQL_BLOCK_JAC,
     "block_dice": SQL_BLOCK_DICE,
     "block_overlap": SQL_BLOCK_OVERLAP,

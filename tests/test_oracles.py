@@ -59,7 +59,7 @@ ORACLE_NAMES = [
     "block_jac_rs", "block_overlap_rs", "block_exm_rs", "block_anm_rs",
     "block_lev_rs", "block_jac_weighted",
     "topk_allscore", "topk_allscore_weighted", "quality_docs", "token_count",
-    "block_fused_union", "block_dice", "block_jac_weighted_rs",
+    "block_fused_union", "block_dice", "block_jac_weighted_rs", "token_df_qgram",
 ]
 
 
