@@ -958,6 +958,34 @@ SQL_EVENTS_WINDOW = """SELECT user_id,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: ONE hash-partitioned
+    shuffle on user_id, vectorized gaps-and-islands per partition
+    (stages/sessions.py)."""
+    from ..stages.sessions import sessionize_events
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return sessionize_events(ev, gap_s=1800.0)
+
+
+SQL_EVENTS_SESSIONIZE = """WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM m)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(tus) AS start_us, max(tus) AS end_us,
+       (max(tus) - min(tus)) / 1e6 AS duration_s,
+       sum(cents)::BIGINT AS sum_cents
+FROM s GROUP BY 1, 2"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode (rows-only): REAL pure-numpy PPM/BMP/WAV decode over
     a deterministic binary media table (actor pool, small batches);
@@ -1022,6 +1050,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1059,6 +1088,7 @@ ORACLES = {
     "quality_docs": SQL_QUALITY_DOCS,
     "lang_id": SQL_LANG_ID,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
     # fingerprint_winnow,
     # ann_topk_ivf, multimodal_decode
