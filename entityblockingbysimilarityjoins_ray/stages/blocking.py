@@ -494,10 +494,10 @@ def _pairgen_bucket(
             return hash_verify_rules_rs(k1s[first], k2s[first], verify_ref, rl)
         from .verify import hash_verify_rules
         return hash_verify_rules(k1s[first], k2s[first], verify_ref, rl)
-    if not ids_out and not rs:
-        # slim int-only emission: the candidate shuffle carries 16-byte
-        # (k1, k2) hash pairs; the hash-keyed verify stage materializes id
-        # strings for survivors only (verify.verify_pairs_hash)
+    if not ids_out:
+        # slim int-only emission: candidates leave as 16-byte (k1, k2) hash
+        # pairs ((A, B) order in rs mode); the hash-keyed verify stage
+        # materializes id strings for survivors only
         return pa.table({"k1": pa.array(k1s[first], pa.int64()),
                          "k2": pa.array(k2s[first], pa.int64())})
     a_ids = ids[ii[keep_idx]].astype("U")
@@ -733,16 +733,24 @@ def setsim_self_join(
         batch_format="pyarrow",
     )
     if broadcast:
-        # INLINE-verify pipeline: candidates are verified inside the pairgen
-        # task (broadcast index, k1-sorted run locality); only survivor rows
-        # shuffle, deduped globally per (pair, rule)
-        rows = sigs.groupby("pb").map_groups(
+        # slim (k1, k2) candidates stream straight into a balanced
+        # map_batches verify (no shuffle between the operators); only
+        # survivor rows shuffle, deduped globally per (pair, rule)
+        from .verify import hash_verify_rules_batch
+
+        cands = sigs.groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
                        "max_group_size": cfg.max_group_size,
-                       "verify_ref": verify_ref},
+                       "ids_out": False},
             batch_format="pyarrow",
+        )
+        rows = cands.map_batches(
+            hash_verify_rules_batch,
+            fn_kwargs=dict(toks_ref=verify_ref, rules=[(sim, threshold)]),
+            batch_format="pyarrow",
+            batch_size=8192,
         )
         verified = dedupe_rule_rows(rows, cfg.pair_partitions)
     else:
@@ -831,12 +839,23 @@ def setsim_self_join_multi(
         batch_format="pyarrow",
     )
     if broadcast:
-        rows = sigs.groupby("pb").map_groups(
+        # slim (k1, k2) candidates stream STRAIGHT into a balanced
+        # map_batches verify (no shuffle between the operators); only
+        # survivor rows shuffle for the global (pair, rule) dedup
+        from .verify import hash_verify_rules_batch
+
+        cands = sigs.groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
                        "max_group_size": cfg.max_group_size,
-                       "verify_ref": verify_ref},
+                       "ids_out": False},
             batch_format="pyarrow",
+        )
+        rows = cands.map_batches(
+            hash_verify_rules_batch,
+            fn_kwargs=dict(toks_ref=verify_ref, rules=rules),
+            batch_format="pyarrow",
+            batch_size=8192,
         )
         verified = dedupe_rule_rows(rows, cfg.pair_partitions)
     else:
@@ -1034,18 +1053,24 @@ def setsim_rs_join(
         n_records = n_records if n_records is not None else toks_a.count() + toks_b.count()
         broadcast = n_records <= cfg.broadcast_limit
     if broadcast:
-        # INLINE verify against the two-sided broadcast index (see the
-        # self-join path): only survivor rows shuffle, deduped per pair
-        from .verify import collect_token_index_rs
+        # slim (k1, k2) candidates stream straight into a balanced verify
+        # against the two-sided broadcast index; only survivors shuffle
+        from .verify import collect_token_index_rs, hash_verify_rules_rs_batch
 
         verify_ref = ray.put(collect_token_index_rs(toks_a, toks_b))
-        rows = sigs_a.union(sigs_b).groupby("pb").map_groups(
+        cands = sigs_a.union(sigs_b).groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
                        "max_group_size": cfg.max_group_size, "rs": True,
-                       "verify_ref": verify_ref},
+                       "ids_out": False},
             batch_format="pyarrow",
+        )
+        rows = cands.map_batches(
+            hash_verify_rules_rs_batch,
+            fn_kwargs=dict(toks_ref=verify_ref, rules=[(sim, threshold)]),
+            batch_format="pyarrow",
+            batch_size=8192,
         )
         verified = dedupe_rule_rows(rows, cfg.pair_partitions)
     else:

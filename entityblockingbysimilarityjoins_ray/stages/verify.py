@@ -441,6 +441,17 @@ def hash_verify_rules(k1: np.ndarray, k2: np.ndarray, toks_ref,
     })
 
 
+def hash_verify_rules_batch(batch: pa.Table, *, toks_ref,
+                            rules: list[tuple[str, float]]) -> pa.Table:
+    """map_batches wrapper of hash_verify_rules over slim {k1, k2} candidate
+    batches: streams DIRECTLY off the pair-generation operator (no shuffle in
+    between) while rebalancing the verify CPU across the whole pool — a hot
+    pair-gen bucket's candidates are verified by many tasks, not one."""
+    k1 = np.asarray(batch.column("k1"), dtype=np.int64)
+    k2 = np.asarray(batch.column("k2"), dtype=np.int64)
+    return hash_verify_rules(k1, k2, toks_ref, rules)
+
+
 def verify_pairs_hash(
     pairs_ds: "ray.data.Dataset",
     toks_ref,
@@ -564,6 +575,15 @@ def hash_verify_rules_rs(k1: np.ndarray, k2: np.ndarray, toks_ref,
         "k1": pa.array(np.concatenate(pk1), pa.int64()),
         "k2": pa.array(np.concatenate(pk2), pa.int64()),
     })
+
+
+def hash_verify_rules_rs_batch(batch: pa.Table, *, toks_ref,
+                               rules: list[tuple[str, float]]) -> pa.Table:
+    """map_batches wrapper of hash_verify_rules_rs over slim {k1, k2}
+    candidate batches (streams off RS pair generation, balanced verify)."""
+    k1 = np.asarray(batch.column("k1"), dtype=np.int64)
+    k2 = np.asarray(batch.column("k2"), dtype=np.int64)
+    return hash_verify_rules_rs(k1, k2, toks_ref, rules)
 
 
 def verify_pairs_rs(
