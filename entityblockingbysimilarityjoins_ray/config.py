@@ -67,9 +67,12 @@ def rule_from_feature_name(feature_name: str, threshold: float,
     if not parts or parts[-1] not in SIM_FUNCS:
         raise ValueError(f"cannot parse feature name {feature_name!r}")
     sim = parts.pop()
-    # duplicated attr (Megallen ltable/rtable naming) collapses to one
-    if len(parts) >= 2 and parts[-1] == parts[-2]:
-        parts = parts[:-1]
+    # duplicated attr (Megallen ltable/rtable naming) collapses to one —
+    # attrs may themselves contain underscores (n_turns_n_turns_anm), so
+    # compare the two HALVES of the remaining segments, not single tokens
+    if len(parts) >= 2 and len(parts) % 2 == 0 and \
+            parts[: len(parts) // 2] == parts[len(parts) // 2:]:
+        parts = parts[: len(parts) // 2]
     attr = "_".join(parts)
     if not attr:
         raise ValueError(f"no attribute in feature name {feature_name!r}")

@@ -302,15 +302,27 @@ def ann_topk_ivf_index(
     bytes never leave storage — score each batch against the probing
     queries, merge partial top-k on the driver."""
     C = np.load(index_dir.rstrip("/") + "_centroids.npy")
-    full = ray.data.read_parquet(index_dir, columns=[id_col, vec_col])
+    # query-vector lookup with a PUSHED-DOWN id filter: only matching row
+    # groups leave storage — not a full index scan for a handful of rows
+    import pyarrow.dataset as pads
+
+    qfilter = pads.field(id_col).isin([int(q) for q in np.asarray(query_ids)])
+    full = ray.data.read_parquet(index_dir, columns=[id_col, vec_col],
+                                 filter=qfilter)
     q_ref = _query_probe_ref(full, query_ids, id_col=id_col, vec_col=vec_col,
                              C=C, nprobe=nprobe)
     q_ids, Q, probe = ray.get(q_ref)
     cells = sorted({int(c) for c in probe.ravel()})
     import glob as _glob
 
+    # partition pruning by PATH (local-fs listing; an object-store deploy
+    # would list via pyarrow.fs the same way)
     paths = [f for c in cells
              for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))]
+    if not paths:  # every probed centroid cell empty (possible under skew)
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
     probed = ray.data.read_parquet(paths, columns=[id_col, vec_col, "cell_id"])
     parts = probed.map_batches(
         _ivf_batch_score,

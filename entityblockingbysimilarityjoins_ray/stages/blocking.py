@@ -340,7 +340,6 @@ def _pairgen_bucket(
     max_group_size: int | None, chunk_pairs: int = 262_144, rs: bool = False,
     rules: list[tuple[str, float]] | None = None,
     ids_out: bool = True,
-    verify_ref=None,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -368,15 +367,11 @@ def _pairgen_bucket(
     idh_raw = np.asarray(t.column("idh"), dtype=np.int64)
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
     pos = np.asarray(t.column("pos"), dtype=np.int64)
-    if verify_ref is not None:
-        from .verify import _EMPTY_RULE_ROWS
-        empty = _EMPTY_RULE_ROWS
-    else:
-        empty = pa.table(
-            {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
-            if not ids_out else
-            {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-             "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
+    empty = pa.table(
+        {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
+        if not ids_out else
+        {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+         "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     if tok.size == 0:
         return empty
 
@@ -484,16 +479,6 @@ def _pairgen_bucket(
     first = np.ones(k1s.size, bool)
     first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
     keep_idx = order2[first]
-    if verify_ref is not None:
-        # INLINE verify (broadcast index): the locally-deduped candidates of
-        # this bucket are verified here, in k1-sorted order (bitmap-kernel
-        # run locality for free), and only survivor rows leave the task —
-        # the 16-byte-per-candidate all-to-all shuffle disappears.
-        if rs:
-            from .verify import hash_verify_rules_rs
-            return hash_verify_rules_rs(k1s[first], k2s[first], verify_ref, rl)
-        from .verify import hash_verify_rules
-        return hash_verify_rules(k1s[first], k2s[first], verify_ref, rl)
     if not ids_out:
         # slim int-only emission: candidates leave as 16-byte (k1, k2) hash
         # pairs ((A, B) order in rs mode); the hash-keyed verify stage

@@ -263,8 +263,14 @@ class MediaDecoder:
                     status.append("audio")
                 else:
                     status.append("unsupported")
-            except UnsupportedMediaError:
-                status.append("unsupported")
+            except (UnsupportedMediaError, ValueError, struct.error, IndexError):
+                # quarantine contract: a corrupt payload (truncated header,
+                # dims exceeding the buffer, bad ASCII fields) must yield a
+                # status row, never a crashed task
+                feats[i] = 0.0
+                wout[i] = hout[i] = 0
+                status.append("corrupt" if (p[:2] in (b"P6", b"BM") or p[:4] == b"RIFF")
+                              else "unsupported")
         return pa.table(
             {
                 "media_id": t.column("media_id"),

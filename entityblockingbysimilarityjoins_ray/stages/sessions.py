@@ -65,8 +65,11 @@ def sessionize_events(
             "duration_s": pa.array((end_us - start_us) / 1e6, pa.float64()),
         }
         if value_col is not None and value_col in t.column_names:
-            # integer cents so float summation order can't flip value hashes
-            cents = np.round(np.asarray(t.column(value_col), dtype=np.float64)[order] * 100)
+            # integer cents so float summation order can't flip value hashes;
+            # half-AWAY-from-zero to match DuckDB round() (np.round is
+            # banker's half-to-even — diverges on exact half-cents)
+            v100 = np.asarray(t.column(value_col), dtype=np.float64)[order] * 100.0
+            cents = np.where(v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5))
             sums = np.add.reduceat(cents.astype(np.int64), starts) if starts.size else np.empty(0, np.int64)
             cols["sum_cents"] = pa.array(sums, pa.int64())
         return pa.table(cols)

@@ -70,6 +70,15 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     Only valid when the record table fits the driver/object store
     (cfg.broadcast_limit); the join path below is the unbounded-scale path.
     """
+    return collect_token_index_with_df(toks_ds)[0]
+
+
+def collect_token_index_with_df(toks_ds: "ray.data.Dataset", min_df: int = 2):
+    """collect_token_index + the global df table derived FREE from the same
+    pass: per-row token bags are already deduped, so df(token) is one
+    bincount over the dense labels — the broadcast path skips the whole
+    distributed df-aggregation pass (build_df_table) this way.
+    Returns ((index, labels, offs, m), (df_toks_sorted, df_vals))."""
     tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
     # keep NATIVE dtype: int64 ids stay int64 so Index.get_indexer runs the
     # vectorized integer hash path (object boxing costs ~3x per lookup)
@@ -82,22 +91,6 @@ def collect_token_index(toks_ds: "ray.data.Dataset"):
     # multi-second straggler batches) at sf0.1
     dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
     labels = np.searchsorted(uni, vals).astype(dt)  # per-row order kept
-    index = pd.Index(ids)
-    return index, labels, offs, int(uni.size) + 1
-
-
-def collect_token_index_with_df(toks_ds: "ray.data.Dataset", min_df: int = 2):
-    """collect_token_index + the global df table derived FREE from the same
-    pass: per-row token bags are already deduped, so df(token) is one
-    bincount over the dense labels — the broadcast path skips the whole
-    distributed df-aggregation pass (build_df_table) this way.
-    Returns ((index, labels, offs, m), (df_toks_sorted, df_vals))."""
-    tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
-    ids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
-    vals, offs = S.flatten_lists(tbl.column("toks"))
-    uni = np.unique(vals)
-    dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
-    labels = np.searchsorted(uni, vals).astype(dt)
     df = np.bincount(labels, minlength=uni.size)
     keep = df >= min_df  # df=1 widow tokens can't form a pair (removeWidow)
     return ((pd.Index(ids), labels, offs, int(uni.size) + 1),
@@ -335,48 +328,12 @@ def _idh_token_index(toks_ref):
                 "pipeline's hash-keyed dedup is unsound for this id set"
             )
         got = (hidx, ids, vals, offs, m)
+        # bounded FIFO: a long session running many joins must not pin every
+        # past join's id/token arrays in every worker forever
+        while len(_IDH_INDEX_CACHE) >= 4:
+            _IDH_INDEX_CACHE.pop(next(iter(_IDH_INDEX_CACHE)))
         _IDH_INDEX_CACHE[key] = got
     return got
-
-
-def hash_verify_batch(
-    batch: pa.Table, *, toks_ref, rules: list[tuple[str, float]],
-) -> pa.Table:
-    """Verify (k1, k2) id-hash candidate pairs against the broadcast token
-    index; emits lex-canonicalized {id1, id2, sim} — one row per (pair,
-    passing rule).  The exact overlap (dominant cost) is computed once."""
-    hidx, all_ids, vals, offs, m = _idh_token_index(toks_ref)
-    k1 = np.asarray(batch.column("k1"), dtype=np.int64)
-    k2 = np.asarray(batch.column("k2"), dtype=np.int64)
-    r1 = hidx.get_indexer(k1)
-    r2 = hidx.get_indexer(k2)
-    ok = (r1 >= 0) & (r2 >= 0)
-    r1, r2 = r1[ok], r2[ok]
-    ovlp = overlap_auto(vals, offs, m, r1, r2)
-    lens = np.diff(offs)
-    la, lb = lens[r1], lens[r2]
-    parts1, parts2, partss = [], [], []
-    for s_name, thr in rules:
-        s = (ovlp.astype(np.float64) if s_name == "overlap"
-             else S.set_sims_from_overlap(ovlp, la, lb, s_name))
-        keep = s >= thr
-        if not keep.any():
-            continue
-        a = all_ids[r1[keep]].astype("U")
-        b = all_ids[r2[keep]].astype("U")
-        swap = a > b
-        parts1.append(np.where(swap, b, a))
-        parts2.append(np.where(swap, a, b))
-        partss.append(s[keep])
-    if not parts1:
-        return pa.table({"id1": pa.array([], pa.string()),
-                         "id2": pa.array([], pa.string()),
-                         "sim": pa.array([], pa.float64())})
-    return pa.table({
-        "id1": pa.array(np.concatenate(parts1), pa.string()),
-        "id2": pa.array(np.concatenate(parts2), pa.string()),
-        "sim": pa.array(np.concatenate(partss), pa.float64()),
-    })
 
 
 _EMPTY_RULE_ROWS = pa.table({
@@ -452,21 +409,6 @@ def hash_verify_rules_batch(batch: pa.Table, *, toks_ref,
     return hash_verify_rules(k1, k2, toks_ref, rules)
 
 
-def verify_pairs_hash(
-    pairs_ds: "ray.data.Dataset",
-    toks_ref,
-    rules: list[tuple[str, float]],
-) -> "ray.data.Dataset":
-    """Exact-verify int-keyed (k1, k2) candidate pairs (broadcast index only;
-    the string-join path for beyond-broadcast scale is verify_pairs)."""
-    return pairs_ds.map_batches(
-        hash_verify_batch,
-        fn_kwargs=dict(toks_ref=toks_ref, rules=rules),
-        batch_format="pyarrow",
-        batch_size=8192,  # see broadcast_verify_batch note on glibc mmap
-    )
-
-
 # ---------------------------------------------------------------------------
 # RS (two-table) verification
 # ---------------------------------------------------------------------------
@@ -527,6 +469,8 @@ def _idh_token_index_rs(toks_ref):
         if not (ha.is_unique and hb.is_unique):
             raise RuntimeError("64-bit id-hash collision in RS verify index")
         got = (ha, ids_a, va, oa, hb, ids_b, vb, ob, m)
+        while len(_IDH_INDEX_RS_CACHE) >= 4:  # bounded FIFO (see above)
+            _IDH_INDEX_RS_CACHE.pop(next(iter(_IDH_INDEX_RS_CACHE)))
         _IDH_INDEX_RS_CACHE[key] = got
     return got
 

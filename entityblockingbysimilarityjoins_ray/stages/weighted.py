@@ -333,12 +333,13 @@ def setsim_self_join_weighted(
 
     ``round_to`` rounds the emitted sim (both here and in the SQL oracle) so
     float-summation order differences cannot flip the hash comparison."""
-    from .blocking import build_df_table
-
+    idx = weighted_token_index(toks_ds)  # one collect: index + counts + df
     if n_records is None:
-        n_records = toks_ds.count()
+        n_records = len(idx[0])
     if df_table is None:
-        df_table = build_df_table(toks_ds)
+        uni, counts = np.unique(idx[1], return_counts=True)
+        keep = counts >= 2  # df=1 widow tokens can't be shared
+        df_table = (uni[keep], counts[keep].astype(np.int64))
     wt_ref = ray.put(word_weights(df_table, n_records))
     sigs = toks_ds.map_batches(
         _emit_weighted_signatures,
@@ -355,7 +356,7 @@ def setsim_self_join_weighted(
         batch_format="pyarrow",
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    toks_ref = ray.put(weighted_token_index(toks_ds))
+    toks_ref = ray.put(idx)
     return candidates.map_batches(
         _verify_weighted,
         fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
@@ -419,12 +420,26 @@ def setsim_rs_join_weighted(
     output {id1(A), id2(B), sim}.  Weights use the COMBINED dictionary —
     df over A ∪ B, wordwt = log10((|A|+|B|)/df) — mirroring the reference's
     RS tokenizer (RStableAttr2IntVector, tokenizer.cc:240-411) and its
-    isWeighted join paths (simfunc.h:37-38)."""
-    from .blocking import build_df_table, dedupe_pairs
+    isWeighted join paths (simfunc.h:37-38).
 
-    n = toks_a.count() + toks_b.count()
-    df_table = build_df_table(toks_a.union(toks_b))
-    wt_ref = ray.put(word_weights(df_table, n))
+    ONE driver collect feeds everything: the verify index, the record
+    counts, and the df table (unique+counts over the already-deduped bags) --
+    no separate distributed df pass, no extra count() scans.  The weighted
+    verify requires the broadcast index; inputs beyond cfg.broadcast_limit
+    are rejected loudly rather than OOMing the driver."""
+    from .blocking import dedupe_pairs
+
+    idx = weighted_token_index_rs(toks_a, toks_b)
+    index_a, va, oa, index_b, vb, ob = idx
+    n = len(index_a) + len(index_b)
+    if n > cfg.broadcast_limit:
+        raise ValueError(
+            f"setsim_rs_join_weighted: {n} records exceed broadcast_limit="
+            f"{cfg.broadcast_limit}; the weighted RS join currently requires "
+            "the broadcast verify index (no join-path fallback)")
+    uni, counts = np.unique(np.concatenate((va, vb)), return_counts=True)
+    keep = counts >= 2  # df=1 widow tokens can't be shared
+    wt_ref = ray.put(word_weights((uni[keep], counts[keep].astype(np.int64)), n))
     common = dict(wt_ref=wt_ref, sim=sim, threshold=threshold,
                   pair_partitions=cfg.pair_partitions,
                   salt_df_threshold=cfg.salt_df_threshold,
@@ -442,7 +457,7 @@ def setsim_rs_join_weighted(
         batch_format="pyarrow",
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    toks_ref = ray.put(weighted_token_index_rs(toks_a, toks_b))
+    toks_ref = ray.put(idx)
     return candidates.map_batches(
         _verify_weighted_rs,
         fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,

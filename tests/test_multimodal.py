@@ -62,3 +62,26 @@ def test_decode_media_stage(ray_session):
     au = out[out.status == "audio"]
     feats = np.stack(au["feature"].to_numpy())
     assert (feats[:, 0] > 0).all() and ((feats[:, 1] > 0) & (feats[:, 1] < 1)).all()
+
+
+def test_corrupt_payloads_quarantined(ray_session):
+    """A malformed payload with a recognized magic must yield a status row,
+    never a crashed decode task."""
+    from entityblockingbysimilarityjoins_ray.stages.multimodal import MediaDecoder
+
+    bad = [
+        b"P6",                           # bare magic
+        b"P6\n3 2\n255\n\x00",           # dims exceed buffer
+        b"BM" + b"\x00" * 10,            # truncated BMP header
+        b"RIFF\x04\x00\x00\x00WAVE",     # WAV without fmt/data
+        b"RIFFJUNK",                     # truncated RIFF
+    ]
+    import pyarrow as pa
+
+    t = pa.table({
+        "media_id": pa.array(list(range(len(bad))), pa.int64()),
+        "payload": pa.array(bad, pa.binary()),
+    })
+    out = MediaDecoder()(t)
+    assert out.num_rows == len(bad)
+    assert set(out.column("status").to_pylist()) <= {"corrupt", "unsupported"}

@@ -171,3 +171,13 @@ head_head_lev_none + 2
     # headerless variant + single-attr forms
     rules = rules_from_text("n_turns_anm + 0.8")
     assert [(r.attr, r.sim) for r in rules] == [("n_turns", "anm")]
+
+
+def test_rule_name_with_underscored_attr():
+    """Megallen doubled-attr collapse must handle multi-underscore attrs."""
+    from entityblockingbysimilarityjoins_ray.config import rule_from_feature_name
+
+    r = rule_from_feature_name("n_turns_n_turns_anm", 0.8)
+    assert (r.attr, r.sim) == ("n_turns", "anm")
+    r = rule_from_feature_name("beer_name_beer_name_jac_dlm_dc0", 0.7)
+    assert (r.attr, r.sim, r.tok) == ("beer_name", "jac", "dlm")
