@@ -838,6 +838,18 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"""
 
 
+def q_embed_dup_pairs_lsh(sf_dir: str):
+    """Distributed LSH near-dup mode (rows-only: recall<1 is the semantics;
+    pytest holds the LSH⊆bruteforce + exact-precision oracle; broadcast_limit=0
+    forces the join-path verify so the run exercises the never-collect scale
+    path)."""
+    from ..stages.dedup import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.4, mode="lsh", broadcast_limit=0)
+    return out.select_columns(["id1", "id2"])
+
+
 def q_text_stats(sf_dir: str):
     from ..stages.text import text_stats
 
@@ -1044,6 +1056,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "fingerprint_winnow": q_fingerprint_winnow,
@@ -1090,6 +1103,6 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
-    # fingerprint_winnow,
+    # fingerprint_winnow, embed_dup_pairs_lsh,
     # ann_topk_ivf, multimodal_decode
 }

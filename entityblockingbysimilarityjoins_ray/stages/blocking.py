@@ -98,14 +98,21 @@ def _partial_df(t: pa.Table, num_buckets: int = 64) -> pa.Table:
     })
 
 
-def _sum_df_bucket(t: pa.Table) -> pa.Table:
+def _sum_df_bucket(t: pa.Table, min_df: int = 1) -> pa.Table:
     tok = np.asarray(t.column("tok"), dtype=np.int64)
     df = np.asarray(t.column("df"), dtype=np.int64)
     order = np.argsort(tok)
     tok, df = tok[order], df[order]
     starts, _ = group_sizes_from_sorted(tok)
     sums = np.add.reduceat(df, starts) if tok.size else np.empty(0, np.int64)
-    return pa.table({"tok": pa.array(tok[starts], pa.int64()), "df": pa.array(sums, pa.int64())})
+    toks_out = tok[starts]
+    if min_df > 1:
+        # widow filter INSIDE the reducer: df=1 tokens are typically ~half a
+        # real corpus's vocabulary — they must never leave the reduce tasks,
+        # let alone reach the driver
+        keep = sums >= min_df
+        toks_out, sums = toks_out[keep], sums[keep]
+    return pa.table({"tok": pa.array(toks_out, pa.int64()), "df": pa.array(sums, pa.int64())})
 
 
 def build_df_table(toks_ds: "ray.data.Dataset", min_df: int = 2, num_buckets: int = 64):
@@ -124,10 +131,12 @@ def build_df_table(toks_ds: "ray.data.Dataset", min_df: int = 2, num_buckets: in
         toks_ds.map_batches(_partial_df, fn_kwargs={"num_buckets": num_buckets},
                             batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(lambda g: _sum_df_bucket(g), batch_format="pyarrow")
+        .map_groups(lambda g: _sum_df_bucket(g, min_df=min_df), batch_format="pyarrow")
     )
     pdf = agg.to_pandas()
-    pdf = pdf[pdf["df"] >= min_df]
+    if pdf.empty or "tok" not in pdf.columns:
+        # every token filtered reducer-side (or no tokens at all)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     toks = pdf["tok"].to_numpy(np.int64)
     dfs = pdf["df"].to_numpy(np.int64)
     order = np.argsort(toks)
@@ -663,6 +672,40 @@ def _empty_pairs_ds(toks_ds, cfg: PipelineConfig, ids: list | None = None):
     return left.map_batches(expand, batch_format="pyarrow", batch_size=256)
 
 
+def _empty_pairs_rs_ds(ea: list, eb: list):
+    """A x B pairs of empty-token records (jaccard(∅,∅)=1.0) — the RS
+    counterpart of _empty_pairs_ds: exact at any size, generated DISTRIBUTED
+    above the driver-expansion threshold (one task per left-id chunk, the
+    B-side id array broadcast once) — never a silent cap."""
+    na, nb = len(ea), len(eb)
+    if na == 0 or nb == 0:
+        return None
+    ea, eb = sorted(ea), sorted(eb)
+    if na * nb <= 100_000:
+        rows = [{"id1": a, "id2": b, "sim": 1.0} for a in ea for b in eb]
+        return ray.data.from_items(rows)
+    logger.warning(
+        "rs blocking: %d x %d empty records -> %d empty pairs generated distributed",
+        na, nb, na * nb,
+    )
+    b_ref = ray.put(np.asarray(eb, dtype=object))
+
+    def expand(t: pa.Table) -> pa.Table:
+        all_b = get_broadcast(b_ref)
+        a = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+        ii = np.repeat(np.arange(a.size), all_b.size)
+        jj = np.tile(np.arange(all_b.size), a.size)
+        return pa.table({
+            "id1": pa.array(a[ii], pa.string()),
+            "id2": pa.array(all_b[jj], pa.string()),
+            "sim": pa.array(np.ones(ii.size), pa.float64()),
+        })
+
+    left = ray.data.from_items([{"id1": a} for a in ea])
+    return left.map_batches(expand, batch_format="pyarrow",
+                            batch_size=max(1, (1 << 21) // nb))
+
+
 def setsim_self_join(
     toks_ds: "ray.data.Dataset",
     *,
@@ -1036,7 +1079,16 @@ def setsim_rs_join(
     )
     if broadcast is None:
         n_records = n_records if n_records is not None else toks_a.count() + toks_b.count()
-        broadcast = n_records <= cfg.broadcast_limit
+        from .verify import should_broadcast
+
+        # same bytes+count gate as the self-join path: a count under the
+        # limit but a wide payload (long docs) must still take the join path
+        try:
+            sz = toks_a.size_bytes() + toks_b.size_bytes()
+        except Exception:
+            sz = None
+        broadcast = should_broadcast(None, n_records, cfg.broadcast_limit,
+                                     cfg.broadcast_bytes_limit, size_bytes=sz)
     if broadcast:
         # slim (k1, k2) candidates stream straight into a balanced verify
         # against the two-sided broadcast index; only survivors shuffle
@@ -1074,15 +1126,9 @@ def setsim_rs_join(
             broadcast=False, num_partitions=cfg.pair_partitions,
         )
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
-        ea = empty_record_ids(toks_a)
-        eb = empty_record_ids(toks_b)
-        if len(ea) > 1000 or len(eb) > 1000:
-            logger.warning("rs blocking: %dx%d empty records; capping at 1000 each",
-                           len(ea), len(eb))
-            ea, eb = ea[:1000], eb[:1000]
-        rows = [{"id1": a, "id2": b, "sim": 1.0} for a in ea for b in eb]
-        if rows:
-            verified = verified.union(ray.data.from_items(rows))
+        ep = _empty_pairs_rs_ds(empty_record_ids(toks_a), empty_record_ids(toks_b))
+        if ep is not None:
+            verified = verified.union(ep)
     return verified
 
 
@@ -1133,12 +1179,18 @@ def exact_rs_join(
 
 def anm_rs_join(
     docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset", attr: str,
-    threshold: float, cfg: PipelineConfig,
+    threshold: float, cfg: PipelineConfig, max_band_pairs: int | None = None,
 ) -> "ray.data.Dataset":
     """absoluteNorm RS join (reference simjoin_blocker.cc:324-367 semantics,
-    full pair set — we do not replicate its top-K-truncation quirk).
-    A emits to log-buckets {b-1, b, b+1}; B emits to its own bucket only, so
-    every in-band (a, b) pair meets in exactly one bucket."""
+    full pair set by default — we do not replicate its top-K-truncation
+    quirk).  A emits to log-buckets {b-1, b, b+1}; B emits to its own bucket
+    only, so every in-band (a, b) pair meets in exactly one bucket.
+
+    ``max_band_pairs``: the output of an anm band join is inherently
+    quadratic in a dense band; when set, each band's A x B enumeration is
+    capped at this many pairs with a LOGGED warning — the reference's
+    MAX_PAIR_SIZE semantics (simjoin_blocker.cc:324-367, config.h) — instead
+    of exploding a worker.  None (default) = exact."""
     assert 0.0 < threshold < 1.0
     w = -np.log(threshold)
 
@@ -1170,6 +1222,16 @@ def anm_rs_join(
             b_idx = np.flatnonzero(side == 1)
             if a_idx.size == 0 or b_idx.size == 0:
                 continue
+            if max_band_pairs is not None and a_idx.size * b_idx.size > max_band_pairs:
+                # bounded enumeration: keep whole A rows until the cap fills
+                keep_a = max(1, max_band_pairs // b_idx.size)
+                logger.warning(
+                    "anm rs join: dense band %dx%d exceeds max_band_pairs=%d; "
+                    "truncating to %dx%d (recall loss possible; raise the cap "
+                    "to make exact)", a_idx.size, b_idx.size, max_band_pairs,
+                    keep_a, b_idx.size,
+                )
+                a_idx = a_idx[:keep_a]
             ii = np.repeat(a_idx, b_idx.size)
             jj = np.tile(b_idx, a_idx.size)
             d1, d2 = v[ii], v[jj]

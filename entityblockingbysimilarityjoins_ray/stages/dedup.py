@@ -110,12 +110,16 @@ def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
                    num_partitions, seed=42) -> pa.Table:
     """Stateless minhash-band task (seeded permutations cached per worker).
 
-    Emits one row per (doc, band) carrying the doc's FULL band-hash vector
-    (``bh``, fixed_size_list<int64>[n_bands]) so the downstream pair
-    generator can apply the *first-agreeing-band* rule: a pair is emitted
-    only from the smallest band index where the two docs' band hashes agree.
-    Every candidate pair is therefore generated EXACTLY ONCE globally — no
-    cross-band duplicates, no global pair-dedup shuffle."""
+    Emits one row per (doc, band) carrying only the doc's band-hash PREFIX
+    ``bh = [band_hash_0 .. band_hash_{b-1}]`` (variable list<int64>): the
+    downstream pair generator applies the *first-agreeing-band* rule — a
+    pair is emitted only from the smallest band index where the two docs'
+    band hashes agree — and its kill loop only ever probes bands BELOW the
+    row's own band, so the prefix is sufficient.  Versus shipping the full
+    n_bands vector on every row this halves the dominant shuffle on average
+    (and band-0 rows, the densest buckets, carry no history at all).  Every
+    candidate pair is still generated EXACTLY ONCE globally — no cross-band
+    duplicates, no global pair-dedup shuffle."""
     perm_a, perm_b = _perms(n_perm, seed)
     rows_per_band = n_perm // n_bands
     ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
@@ -134,8 +138,14 @@ def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
     band_hash = bh.reshape(-1)
     ids_r = np.repeat(ids, n_bands)
     key = band_hash ^ (band_id.astype(np.int64) * 0x9E3779B9)
-    bh_rep = pa.FixedSizeListArray.from_arrays(
-        pa.array(np.repeat(bh, n_bands, axis=0).reshape(-1), pa.int64()), n_bands
+    # doc-major prefix values: doc i contributes bh[i, :0], bh[i, :1], ...
+    tri = np.concatenate([np.arange(b) for b in range(n_bands)]).astype(np.int64) \
+        if n_bands > 1 else np.zeros(0, np.int64)
+    pref_vals = bh[:, tri].reshape(-1) if n else np.zeros(0, np.int64)
+    lens = np.tile(np.arange(n_bands, dtype=np.int64), n)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    bh_pref = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(pref_vals, pa.int64())
     )
     return pa.table(
         {
@@ -143,7 +153,7 @@ def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
             "key": pa.array(key, pa.int64()),
             "band": pa.array(band_id, pa.int32()),
             "id": pa.array(ids_r),
-            "bh": bh_rep,
+            "bh": bh_pref,
         }
     )
 
@@ -166,13 +176,22 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
     ids = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
     bh_col = t.column("bh")
     bh_col = bh_col.combine_chunks() if isinstance(bh_col, pa.ChunkedArray) else bh_col
-    n_bands = bh_col.type.list_size
-    bh = np.asarray(bh_col.flatten(), dtype=np.int64).reshape(-1, n_bands)
+    # variable prefix list: row r carries bands [0, band[r]) at
+    # flat[row_start[r] : row_start[r] + band[r]]
+    flat = np.asarray(bh_col.flatten(), dtype=np.int64)
+    p_offs = np.asarray(bh_col.offsets, dtype=np.int64)
+    row_start = p_offs[:-1] - p_offs[0]
+    # band-0 hash per row: band>0 rows carry it as prefix[0]; band-0 rows'
+    # own band hash IS the bucket key (key = bh0 ^ 0*const)
+    if flat.size:
+        first = flat[np.minimum(row_start, flat.size - 1)]
+    else:
+        first = np.zeros(key.size, np.int64)
+    bh0 = np.where(band == 0, key, first)
 
-    bh0 = bh[:, 0]
     order = np.lexsort((bh0, key))
-    key, band, ids, bh = key[order], band[order], ids[order], bh[order]
-    bh0 = bh[:, 0]
+    key, band, ids, bh0, row_start = (
+        key[order], band[order], ids[order], bh0[order], row_start[order])
     starts, sizes = group_sizes_from_sorted(key)
     if sizes.size and sizes.max() > max_bucket:
         sizes_c = np.minimum(sizes, max_bucket)
@@ -182,18 +201,14 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
         )
         local = np.arange(key.size) - np.repeat(starts, sizes)
         keep_mask = local < np.repeat(sizes_c, sizes)
-        key, band, ids, bh = key[keep_mask], band[keep_mask], ids[keep_mask], bh[keep_mask]
-        bh0 = bh[:, 0]
+        key, band, ids, bh0, row_start = (
+            key[keep_mask], band[keep_mask], ids[keep_mask],
+            bh0[keep_mask], row_start[keep_mask])
         starts, sizes = group_sizes_from_sorted(key)
 
     n = key.size
     grp_start = np.repeat(starts, sizes)  # per-row: first row index of its bucket
     is_b0 = band == 0
-    # transpose ONCE: the kill loop gathers one band column at a time, and a
-    # contiguous (n,) column keeps each gather inside an ~n*8B cache-resident
-    # array instead of striding 8*n_bands bytes per probe — the stage is
-    # memory-bandwidth-bound under full-node concurrency, so this matters
-    bhT = np.ascontiguousarray(bh.T)
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
@@ -220,7 +235,8 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
         jj = np.repeat(np.arange(n), l2)
         cum = np.concatenate(([0], np.cumsum(l2)[:-1]))
         ii = np.arange(total) - np.repeat(cum, l2) + np.repeat(grp_start, l2)
-        # kill agreements at bands 1..b-1 (band 0 is structurally excluded)
+        # kill agreements at bands 1..b-1 (band 0 is structurally excluded);
+        # every probed row has band > bprime, so its prefix holds band bprime
         keep = np.ones(total, bool)
         b = band[jj]
         alive = np.flatnonzero(b > 1)
@@ -228,7 +244,12 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
             need = alive[b[alive] > bprime]
             if need.size == 0:
                 break
-            agree = bhT[bprime][ii[need]] == bhT[bprime][jj[need]]
+            # clip guards the astronomically-unlikely cross-band key
+            # collision (a bucket is homogeneous in band otherwise, so the
+            # prefix always holds band bprime for both rows)
+            hi = max(flat.size - 1, 0)
+            agree = (flat[np.minimum(row_start[ii[need]] + bprime, hi)]
+                     == flat[np.minimum(row_start[jj[need]] + bprime, hi)])
             keep[need[agree]] = False
             alive = need[~agree]
         out_i.append(ii[keep])
@@ -305,11 +326,12 @@ def minhash_lsh_dedup(
     toks_ds = docs.map_batches(tok_table, batch_format="pyarrow")
     if n_records is None:
         n_records = docs.count()
-    from .verify import verify_pairs
+    from .verify import should_broadcast, verify_pairs
 
     return verify_pairs(
         cands, toks_ds, sim="jac", threshold=threshold,
-        broadcast=n_records <= broadcast_limit, num_partitions=num_partitions,
+        broadcast=should_broadcast(toks_ds, n_records, broadcast_limit),
+        num_partitions=num_partitions,
     )
 
 
@@ -423,29 +445,53 @@ def simhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _vec_matrix(col, n_rows: int) -> np.ndarray:
+    """Arrow list/fixed_size_list column -> (n_rows, d) float64 matrix."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if n_rows == 0:
+        return flat.reshape(0, max(1, flat.size))
+    return flat.reshape(n_rows, -1)
+
+
+def _embedding_dim(emb: "ray.data.Dataset", vec_col: str) -> int:
+    """Vector dimension from the schema (fixed_size_list) or one probe row."""
+    sch = emb.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema) and vec_col in base.names:
+        t = base.field(vec_col).type
+        if pa.types.is_fixed_size_list(t):
+            return int(t.list_size)
+    row = emb.select_columns([vec_col]).take(1)
+    return len(row[0][vec_col])
+
+
 def embedding_dup_pairs(
     emb: "ray.data.Dataset", *, id_col="vec_id", vec_col="embedding",
     threshold=0.95, mode="bruteforce", num_partitions=32, n_planes=16, seed=42,
+    broadcast_limit: int = 2_000_000, n_records: int | None = None,
 ) -> "ray.data.Dataset":
     """Pairs with cosine >= threshold.
 
     mode='bruteforce': exact — broadcast the (normalized f64) matrix, one
       numpy matmul per batch row-block against the full matrix (the oracle
-      path; O(n^2) flops but C-speed, fine to ~100k vectors).
-    mode='lsh': random-hyperplane buckets -> candidates -> exact verify
-      (the >>100k scale path; recall < 1, documented)."""
-    from .verify import collect_arrow
-
-    tbl = collect_arrow(emb.select_columns([id_col, vec_col]))
-    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
-    col = tbl.column(vec_col)
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    M = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    Mn = M / np.maximum(norms, 1e-30)
-    ref = ray.put((ids, Mn))
-
+      path; O(n^2) flops but C-speed, fine to ~100k vectors; collects the
+      matrix on the driver BY DESIGN).
+    mode='lsh': fully DISTRIBUTED scale path — only the (d x n_planes)
+      hyperplane matrix is broadcast; signs/keys are computed per batch in
+      map_batches, candidate pairs come from a bucket groupby, and the exact
+      cosine verify runs through the broadcast-or-hash_join switch, so the
+      embedding matrix is never collected on the driver above
+      ``broadcast_limit``.  Recall < 1 (random-hyperplane LSH), documented;
+      precision exact."""
     if mode == "bruteforce":
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(emb.select_columns([id_col, vec_col]))
+        ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        M = _vec_matrix(tbl.column(vec_col), len(ids))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        ref = ray.put((ids, Mn))
         order = np.argsort(ids)
 
         def block_fn(t: pa.Table) -> pa.Table:
@@ -467,31 +513,83 @@ def embedding_dup_pairs(
             block_fn, batch_format="pyarrow", batch_size=1024
         )
 
-    # LSH mode
+    # ---- LSH mode: distributed signing + broadcast-or-join verify ---------
+    dim = _embedding_dim(emb, vec_col)
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(Mn.shape[1], n_planes))
-    signs = (Mn @ planes) > 0
-    key = np.zeros(len(ids), np.int64)
-    for b in range(n_planes):
-        key |= signs[:, b].astype(np.int64) << b
-    sig_df = pd.DataFrame({"key": key, "id": ids})
-    sig_df["pb"] = bucket_of(sig_df["key"].to_numpy(np.int64), num_partitions)
-    sigs = ray.data.from_pandas(sig_df)
+    planes_ref = ray.put(rng.normal(size=(dim, n_planes)))
+    bit_weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    def sign_batch(t: pa.Table) -> pa.Table:
+        P = get_broadcast(planes_ref)
+        ids_b = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        M = _vec_matrix(t.column(vec_col), len(ids_b))
+        # sign(v @ P) is scale-invariant — no per-row normalization needed
+        key = ((M @ P) > 0).astype(np.int64) @ bit_weights
+        return pa.table({
+            "pb": pa.array(bucket_of(key, num_partitions), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "id": pa.array(ids_b),
+        })
+
+    sigs = emb.map_batches(sign_batch, batch_format="pyarrow")
+    # one key per doc -> each candidate pair is generated exactly once; no
+    # global pair-dedup shuffle needed
     cands = sigs.groupby("pb").map_groups(
         lambda g: _candidate_pairs_from_keys(g.drop(columns=["pb"])), batch_format="pandas"
     )
 
-    def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, Mn = get_broadcast(ref)
-        if not len(df):
-            return pd.DataFrame({"id1": pd.Series(dtype=ids.dtype),
-                                 "id2": pd.Series(dtype=ids.dtype),
-                                 "sim": pd.Series(dtype=float)})
-        pos = pd.Index(all_ids)
-        r1 = pos.get_indexer(df["id1"])
-        r2 = pos.get_indexer(df["id2"])
-        sim = np.einsum("ij,ij->i", Mn[r1], Mn[r2])
-        keep = sim >= threshold
-        return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep], "sim": sim[keep]})
+    if n_records is None:
+        n_records = emb.count()
+    from .verify import should_broadcast
 
-    return cands.map_batches(verify_fn, batch_format="pandas")
+    if should_broadcast(emb, n_records, broadcast_limit):
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(emb.select_columns([id_col, vec_col]))
+        ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        M = _vec_matrix(tbl.column(vec_col), len(ids))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        ref = ray.put((pd.Index(ids), Mn))
+
+        def verify_fn(df: pd.DataFrame) -> pd.DataFrame:
+            pos, Mn = get_broadcast(ref)
+            if not len(df):
+                return pd.DataFrame({"id1": pd.Series(dtype=object),
+                                     "id2": pd.Series(dtype=object),
+                                     "sim": pd.Series(dtype=float)})
+            r1 = pos.get_indexer(df["id1"])
+            r2 = pos.get_indexer(df["id2"])
+            sim = np.einsum("ij,ij->i", Mn[r1], Mn[r2])
+            keep = sim >= threshold
+            return pd.DataFrame({"id1": df["id1"][keep], "id2": df["id2"][keep],
+                                 "sim": sim[keep]})
+
+        return cands.map_batches(verify_fn, batch_format="pandas")
+
+    # join-path verify: both sides large — two hash-partitioned shuffles,
+    # the embedding matrix never leaves the workers
+    from .joins import hash_join
+
+    def ren(idname, vname):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({idname: t.column(id_col), vname: t.column(vec_col)})
+
+        return f
+
+    e1 = emb.map_batches(ren("cid1", "v1"), batch_format="pyarrow")
+    e2 = emb.map_batches(ren("cid2", "v2"), batch_format="pyarrow")
+    j = hash_join(cands, e1, on="id1", right_on="cid1", num_partitions=num_partitions)
+    j = hash_join(j, e2, on="id2", right_on="cid2", num_partitions=num_partitions)
+
+    def cos_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        A = _vec_matrix(t.column("v1"), n)
+        B = _vec_matrix(t.column("v2"), n)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        sim = np.einsum("ij,ij->i", An, Bn) if n else np.zeros(0)
+        keep = sim >= threshold
+        out = t.select(["id1", "id2"]).filter(pa.array(keep))
+        return out.append_column("sim", pa.array(sim[keep], pa.float64()))
+
+    return j.map_batches(cos_batch, batch_format="pyarrow")

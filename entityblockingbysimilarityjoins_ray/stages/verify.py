@@ -23,19 +23,25 @@ from ..functions.hashing import get_broadcast
 
 
 def should_broadcast(ds, n_records: int, record_limit: int,
-                     bytes_limit: int = 4 << 30) -> bool:
+                     bytes_limit: int = 4 << 30,
+                     size_bytes: int | None = None) -> bool:
     """Broadcast-vs-join gate on BOTH record count and estimated bytes.
 
     Record counts alone under-estimate wide payloads (2M records x 10^4-token
     docs would overflow the object store); ``Dataset.size_bytes()`` gives the
     executed plan's in-memory estimate for free on materialized datasets —
-    gate on it when available."""
+    gate on it when available.  ``size_bytes`` lets multi-input callers (RS
+    joins) pass a precomputed per-side sum instead of executing a union just
+    for the gate."""
     if n_records > record_limit:
         return False
-    try:
-        sz = ds.size_bytes()
-    except Exception:
-        sz = None
+    if size_bytes is not None:
+        sz = size_bytes
+    else:
+        try:
+            sz = ds.size_bytes()
+        except Exception:
+            sz = None
     if sz is not None and sz > bytes_limit:
         import logging
 

@@ -190,3 +190,55 @@ def test_multi_rule_fused_equals_single_rule_union(tiny_docs, toks_dlm):
     fa = fused[key].round(12).sort_values(key).reset_index(drop=True)
     sa = singles[key].round(12).sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fa, sa)
+
+
+def test_df_table_filters_widows_reducer_side(ray_session):
+    """build_df_table's collected table equals the post-filter table: df=1
+    tokens are dropped INSIDE the reducers, never reaching the driver."""
+    import pyarrow as pa
+
+    from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+
+    from entityblockingbysimilarityjoins_ray.stages import blocking as B
+
+    docs = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(6)],
+        "doc": ["a b c", "a b d", "c d e", "unique1 unique2", "", "a e f"],
+    })
+    toks = B.tokenize_docs(ray.data.from_pandas(docs), "doc", "dlm")
+    got_toks, got_dfs = B.build_df_table(toks, min_df=2)
+    # brute-force df over hashed tokens
+    from collections import Counter
+
+    from entityblockingbysimilarityjoins_ray.functions.hashing import hash_strings
+
+    cnt = Counter()
+    for d in docs["doc"]:
+        for tok in set(oracle_tokens(d, "dlm")):
+            cnt[tok] += 1
+    kept = {t: c for t, c in cnt.items() if c >= 2}
+    toks_arr = np.array(sorted(kept), dtype=object)
+    h = hash_strings(toks_arr) if len(toks_arr) else np.zeros(0, np.int64)
+    order = np.argsort(h)
+    assert got_toks.tolist() == h[order].tolist()
+    exp_dfs = np.array([kept[t] for t in toks_arr], np.int64)[order]
+    assert got_dfs.tolist() == exp_dfs.tolist()
+
+
+def test_anm_rs_dense_band_cap_truncates(ray_session):
+    """max_band_pairs caps a planted dense band (logged truncation in the
+    worker); default (None) stays exact."""
+    from entityblockingbysimilarityjoins_ray.stages import blocking as B
+
+    n = 40
+    a = pd.DataFrame({"conv_id": [f"a{i}" for i in range(n)],
+                      "v": np.full(n, 100.0)})
+    b = pd.DataFrame({"conv_id": [f"b{i}" for i in range(n)],
+                      "v": np.full(n, 100.0)})
+    da, db = ray.data.from_pandas(a), ray.data.from_pandas(b)
+    cfg = PipelineConfig(pair_partitions=4)
+    exact = B.anm_rs_join(da, db, "v", 0.9, cfg).count()
+    assert exact == n * n
+    capped = B.anm_rs_join(da, db, "v", 0.9, cfg, max_band_pairs=100).count()
+    # keep_a = max(1, 100 // 40) = 2 whole A rows -> 2 * 40 pairs
+    assert capped == 2 * n

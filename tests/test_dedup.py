@@ -101,3 +101,59 @@ def test_embedding_dup_pairs(ray_session, mode):
     else:
         assert got <= exp  # LSH: precision exact, recall <= 1
         assert (0, 1) in got  # planted near-identical pair survives any band
+
+
+def test_embedding_lsh_join_path_never_collects(ray_session, monkeypatch):
+    """LSH mode above broadcast_limit must not collect the embedding matrix
+    on the driver: force the join path and poison collect_arrow."""
+    from entityblockingbysimilarityjoins_ray.stages import dedup as D
+
+    rng = np.random.default_rng(5)
+    n, d = 80, 12
+    M = rng.normal(size=(n, d))
+    M[1] = M[0] + 0.005 * rng.normal(size=d)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(M), type=pa.list_(pa.float64()))})
+    )
+
+    def poisoned(*a, **k):
+        raise AssertionError("collect_arrow called on the LSH scale path")
+
+    import entityblockingbysimilarityjoins_ray.stages.verify as V
+
+    monkeypatch.setattr(V, "collect_arrow", poisoned)
+    out = D.embedding_dup_pairs(
+        ds, threshold=0.95, mode="lsh", broadcast_limit=0
+    ).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    exp = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= 0.95}
+    got = set(zip(out["id1"].astype(int), out["id2"].astype(int)))
+    assert got <= exp  # precision exact
+    assert (0, 1) in got  # planted near-identical pair survives any band
+    # sims reported match brute force
+    for (i, j), s in zip(zip(out["id1"].astype(int), out["id2"].astype(int)),
+                         out["sim"]):
+        assert abs(s - sims[i, j]) < 1e-9
+
+
+def test_embedding_lsh_broadcast_join_paths_identical(ray_session):
+    """Same LSH candidates -> identical verified output on both verify paths."""
+    from entityblockingbysimilarityjoins_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d = 70, 10
+    M = rng.normal(size=(n, d))
+    for i in range(0, n, 7):
+        if i + 1 < n:
+            M[i + 1] = M[i] + 0.01 * rng.normal(size=d)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(M), type=pa.list_(pa.float64()))})
+    )
+    a = embedding_dup_pairs(ds, threshold=0.9, mode="lsh").to_pandas()
+    b = embedding_dup_pairs(ds, threshold=0.9, mode="lsh", broadcast_limit=0).to_pandas()
+    ka = sorted(zip(a["id1"].astype(int), a["id2"].astype(int)))
+    kb = sorted(zip(b["id1"].astype(int), b["id2"].astype(int)))
+    assert ka == kb

@@ -167,3 +167,29 @@ def test_edit_self_join_still_matches_duckdb(tiny_docs):
     ).df()
     exp = set(zip(exp_df["id1"], exp_df["id2"]))
     assert got_pairs == exp
+
+
+def test_rs_empty_clique_distributed_exact(ray_session):
+    """>1000 empty records per side: the RS empty-pair clique is generated
+    DISTRIBUTED and exactly (the old path capped at 1000x1000 silently)."""
+    na, nb = 350, 360  # 126,000 pairs > the 100k driver-expansion threshold
+    a = pd.DataFrame({"conv_id": [f"a{i:04d}" for i in range(na)],
+                      "doc": [""] * na})
+    b = pd.DataFrame({"conv_id": [f"b{i:04d}" for i in range(nb)],
+                      "doc": [""] * nb})
+    toks_a = B.tokenize_docs(ray.data.from_pandas(a), "doc", "dlm")
+    toks_b = B.tokenize_docs(ray.data.from_pandas(b), "doc", "dlm")
+    out = B.setsim_rs_join(toks_a, toks_b, sim="jac", threshold=0.5, cfg=_cfg())
+    assert out.count() == na * nb
+    sample = out.take(5)
+    assert all(r["sim"] == 1.0 for r in sample)
+
+
+def test_empty_pairs_rs_driver_and_distributed_agree(ray_session):
+    from entityblockingbysimilarityjoins_ray.stages.blocking import _empty_pairs_rs_ds
+
+    ea = [f"a{i}" for i in range(9)]
+    eb = [f"b{i}" for i in range(7)]
+    small = _empty_pairs_rs_ds(ea, eb).to_pandas()
+    assert len(small) == 63
+    assert set(zip(small["id1"], small["id2"])) == {(x, y) for x in ea for y in eb}
