@@ -17,6 +17,16 @@ from dataclasses import dataclass, field
 DLM_DELIMS = " \"',\\\t\r\n"
 
 SIM_FUNCS = ("jac", "cos", "dice", "overlap", "lev", "exm", "anm")
+#: alias sim names appearing in real reference feature files (graph.py
+#: sort_ranges2 builds 'lev_'+{sim,dist}; py_entitymatching uses long names)
+SIM_ALIASES = {
+    "jaccard": "jac",
+    "cosine": "cos",
+    "exact": "exm",
+    "abs": "anm",
+    "lev_sim": "lev",
+    "lev_dist": "lev",
+}
 TOKENIZERS = ("dlm", "qgm", "wspace", "alphanumeric", "none")
 
 
@@ -64,9 +74,16 @@ def rule_from_feature_name(feature_name: str, threshold: float,
                 q = int(t[3:])
         else:
             tok = t
-    if not parts or parts[-1] not in SIM_FUNCS:
+    # two-segment lev forms (lev_sim / lev_dist, graph.py sort_ranges2) first
+    if len(parts) >= 2 and "_".join(parts[-2:]) in SIM_ALIASES:
+        sim = SIM_ALIASES["_".join(parts[-2:])]
+        parts = parts[:-2]
+    elif parts and parts[-1] in SIM_ALIASES:
+        sim = SIM_ALIASES[parts.pop()]
+    elif parts and parts[-1] in SIM_FUNCS:
+        sim = parts.pop()
+    else:
         raise ValueError(f"cannot parse feature name {feature_name!r}")
-    sim = parts.pop()
     # duplicated attr (Megallen ltable/rtable naming) collapses to one —
     # attrs may themselves contain underscores (n_turns_n_turns_anm), so
     # compare the two HALVES of the remaining segments, not single tokens

@@ -207,10 +207,9 @@ def q_token_df_qgram(sf_dir: str):
 SQL_TOKEN_DF_QGRAM = f"""WITH {_DOCS_CTE}, {_SUB_CTE},
 runs AS (SELECT conv_id, unnest(list_filter(
   string_split_regex(head, '[^a-zA-Z0-9]+'), x -> length(x) >= 3)) AS run FROM sub),
-series AS (SELECT CAST(i AS INTEGER) AS i FROM
-           generate_series(1, 4096) AS t(i)),
-grams AS (SELECT DISTINCT conv_id, substr(run, i, 3) AS tok
-          FROM runs JOIN series ON i <= length(run) - 2)
+-- lateral unnest of a per-run series: exact for ANY run length (no cap)
+grams AS (SELECT DISTINCT conv_id, substr(run, CAST(i AS INTEGER), 3) AS tok
+          FROM runs, unnest(generate_series(1, length(run) - 2)) AS t(i))
 SELECT tok, count(*)::BIGINT AS df FROM grams GROUP BY tok HAVING count(*) >= 2"""
 
 

@@ -128,18 +128,33 @@ def _train_centroids(
 ) -> np.ndarray:
     """Deterministic, unbiased centroid training sample: keep rows whose
     Knuth-hashed id falls in a 1/mod stratum (streams; no order bias like
-    ``limit()``), then k-means on the driver (sample_rows x d only)."""
+    ``limit()``), then k-means on the driver (sample_rows x d only).
+
+    Structured id sets (e.g. all ids sharing a residue class) can leave a
+    stratum empty — the loop retries with the next residue, then relaxes mod,
+    and finally falls back to ``limit()``, so k-means never sees 0 rows."""
     from .verify import collect_arrow
 
     n = emb.count()
     mod = max(1, n // max(1, sample_rows))
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(mod)
-        return t.filter(pa.array(h == 0))
+    def pick_fn(mod, target):
+        def pick(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(mod)
+            return t.filter(pa.array(h == target))
 
-    stbl = collect_arrow(emb.map_batches(pick, batch_format="pyarrow"))
+        return pick
+
+    stbl = None
+    for m, target in ((mod, 0), (mod, 1), (max(1, mod // 2), 0)):
+        stbl = collect_arrow(emb.map_batches(pick_fn(m, target % m),
+                                             batch_format="pyarrow"))
+        if stbl.num_rows:
+            break
+    if stbl is None or stbl.num_rows == 0:
+        # order-biased but bounded — never a full-corpus collect
+        stbl = collect_arrow(emb.limit(max(1, sample_rows)))
     return _kmeans(_normalize(_vec_matrix(stbl, vec_col)), n_centroids, seed=seed)
 
 

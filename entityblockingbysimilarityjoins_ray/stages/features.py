@@ -165,6 +165,17 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
     return pa.table(out)
 
 
+def _ren_side(prefix):
+    """Rename feature-input columns for one join side (cid_l/l_* or cid_r/r_*)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [("cid_" + prefix if c == "conv_id" else f"{prefix}_{c}") for c in t.column_names]
+        )
+
+    return f
+
+
 def _extract_joined(batch: pa.Table, *, specs) -> pa.Table:
     """Join-path feature kernel: pairs already joined to both sides' feature
     columns (l_*/r_*) — features computed straight from the paired columns."""
@@ -244,16 +255,8 @@ def extract_features(
 
     from .joins import hash_join
 
-    def ren(prefix):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [("cid_" + prefix if c == "conv_id" else f"{prefix}_{c}") for c in t.column_names]
-            )
-
-        return f
-
-    left = feat_cols.map_batches(ren("l"), batch_format="pyarrow")
-    right = feat_cols.map_batches(ren("r"), batch_format="pyarrow")
+    left = feat_cols.map_batches(_ren_side("l"), batch_format="pyarrow")
+    right = feat_cols.map_batches(_ren_side("r"), batch_format="pyarrow")
     j = hash_join(pairs.select_columns(["id1", "id2"]), left,
                   on="id1", right_on="cid_l", num_partitions=num_partitions)
     j = hash_join(j, right, on="id2", right_on="cid_r", num_partitions=num_partitions)
@@ -488,6 +491,20 @@ def _extract_ic_batch(batch: pa.Table, *, state_ref, ic_ref, specs, attr) -> pa.
     return pa.table(cols)
 
 
+def _extract_ic_joined(batch: pa.Table, *, ic_ref, specs, attr) -> pa.Table:
+    """Join-path feature kernel + IC max-over-group overwrite (raw attr
+    values arrive ON the joined batch as l_r_/r_r_ columns)."""
+    out_tbl = _extract_joined(batch, specs=specs)
+    if out_tbl.num_rows == 0:
+        return out_tbl
+    ic = get_broadcast(ic_ref)
+    raw1 = np.asarray(batch.column(f"l_r_{attr}").to_numpy(zero_copy_only=False), dtype=object)
+    raw2 = np.asarray(batch.column(f"r_r_{attr}").to_numpy(zero_copy_only=False), dtype=object)
+    cols = {c: out_tbl.column(c) for c in out_tbl.column_names}
+    cols = _apply_ic_max(cols, specs, attr, ic, raw1, raw2)
+    return pa.table(cols)
+
+
 def extract_features_ic(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -496,6 +513,10 @@ def extract_features_ic(
     specs=DEFAULT_FEATURES,
     *,
     batch_size: int = 4096,
+    broadcast: bool | None = None,
+    broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Feature extraction with interchangeable-value semantics on ``attr``:
     features over ``attr`` take the MAX similarity across the IC-group
@@ -505,27 +526,49 @@ def extract_features_ic(
     stages/interchangeable.group_values).
 
     The group table is vocabulary-sized, broadcast once per worker; grouped
-    pairs get a bounded per-member loop (reference does the same),
-    non-grouped pairs stay on the vectorized kernel."""
+    pairs get a bounded per-member loop (reference does the same scalar
+    member loop, cal_feature.cc:42-47 — dense IC groups make it quadratic in
+    group size, bounded to IC-touched pairs only), non-grouped pairs stay on
+    the vectorized kernel.  Feature-input columns reach the per-pair kernel
+    via the same broadcast-or-hash_join switch as plain extract_features, so
+    corpora beyond ``broadcast_limit`` take the join path instead of a
+    driver collect."""
     gpd = groups if isinstance(groups, pd.DataFrame) else groups.to_pandas()
     specs = list(specs)
     if not any(s.attr == attr and s.sim in ("lev", "exm", "anm", "jw", "me") for s in specs):
-        # ensure raw strings of attr reach the broadcast state
+        # ensure raw strings of attr reach the per-pair kernel
         probe = [FeatureSpec(attr, "exm", "none")]
     else:
         probe = []
-    from .verify import collect_arrow
-
-    cols_tbl = collect_arrow(
+    ic_ref = ray.put(_ic_state(gpd, specs, attr))
+    feat_cols = (
         docs.select_columns(sorted({"conv_id", attr} | {s.attr for s in specs}))
         .map_batches(_feature_columns, fn_kwargs={"specs": specs + probe},
                      batch_format="pyarrow")
     )
-    state_ref = ray.put(_build_state(cols_tbl, specs + probe))
-    ic_ref = ray.put(_ic_state(gpd, specs, attr))
-    return pairs.map_batches(
-        _extract_ic_batch,
-        fn_kwargs=dict(state_ref=state_ref, ic_ref=ic_ref, specs=specs, attr=attr),
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    if broadcast is None:
+        n_records = n_records if n_records is not None else docs.count()
+        broadcast = n_records <= broadcast_limit
+    if broadcast:
+        from .verify import collect_arrow
+
+        state_ref = ray.put(_build_state(collect_arrow(feat_cols), specs + probe))
+        return pairs.map_batches(
+            _extract_ic_batch,
+            fn_kwargs=dict(state_ref=state_ref, ic_ref=ic_ref, specs=specs, attr=attr),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+
+    from .joins import hash_join
+
+    left = feat_cols.map_batches(_ren_side("l"), batch_format="pyarrow")
+    right = feat_cols.map_batches(_ren_side("r"), batch_format="pyarrow")
+    j = hash_join(pairs.select_columns(["id1", "id2"]), left,
+                  on="id1", right_on="cid_l", num_partitions=num_partitions)
+    j = hash_join(j, right, on="id2", right_on="cid_r", num_partitions=num_partitions)
+    return j.map_batches(
+        _extract_ic_joined,
+        fn_kwargs=dict(ic_ref=ic_ref, specs=specs, attr=attr),
+        batch_format="pyarrow", batch_size=batch_size,
     )

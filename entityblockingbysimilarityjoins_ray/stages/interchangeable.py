@@ -304,11 +304,11 @@ class PretrainedEmbedder(ValueEmbedder):
 
     - GloVe text format ("token v1 .. vn" lines) loads natively with numpy —
       no third-party dependency.
-    - word2vec / fastText binary models need gensim, which this sandbox does
-      not ship: the loaders try the import and raise a documented
-      NotImplementedError otherwise (the Ray-side plumbing — broadcast via
-      ray.put, actor-pool map_batches inference — is identical to
-      ValueEmbedder and fully exercised by group_values_trained)."""
+    - word2vec / fastText ``-saveVectors`` output (binary or text, both with
+      the "<vocab> <dim>" header) loads via a direct numpy parser of the
+      public format — no gensim dependency.  The Ray-side plumbing —
+      broadcast via ray.put, map_batches inference — is identical to
+      ValueEmbedder and fully exercised by group_values_trained."""
 
     def __init__(self, tok: str = "dlm"):
         super().__init__(tok=tok)
@@ -328,18 +328,48 @@ class PretrainedEmbedder(ValueEmbedder):
         return self
 
     def load_word2vec(self, path: str, binary: bool = True) -> "PretrainedEmbedder":
-        try:
-            from gensim.models import KeyedVectors  # type: ignore
-        except ImportError as exc:  # pragma: no cover - gensim absent here
-            raise NotImplementedError(
-                "word2vec/fastText loading needs gensim, which is not "
-                "available in this environment; use load_glove (text "
-                "vectors) or the trainable ValueEmbedder"
-            ) from exc
-        kv = KeyedVectors.load_word2vec_format(path, binary=binary)
-        self.vocab = pd.Index(kv.index_to_key)
-        self.vectors = np.asarray(kv.vectors, np.float64)
-        self.dim = int(self.vectors.shape[1])
+        """Load the PUBLIC word2vec format with numpy only (no gensim):
+        header line ``"<vocab_size> <dim>\\n"``, then per token either
+        ``token<space><dim x float32 LE>[\\n]`` (binary=True — the layout
+        written by the original word2vec.c / fastText ``-saveVectors``) or a
+        ``token v1 .. vn`` text line (binary=False).  Reference loaders:
+        value_matcher/fasttext.py:22-33, word2vec.py."""
+        toks: list[str] = []
+        if binary:
+            with open(path, "rb") as f:
+                header = f.readline().split()
+                vocab_size, dim = int(header[0]), int(header[1])
+                vecs = np.empty((vocab_size, dim), np.float32)
+                row_bytes = 4 * dim
+                for i in range(vocab_size):
+                    # token = bytes up to the separating space; leading
+                    # newline left over from the previous row is skipped
+                    chars = bytearray()
+                    while True:
+                        ch = f.read(1)
+                        if not ch:
+                            raise ValueError(f"truncated word2vec file at row {i}")
+                        if ch == b" ":
+                            break
+                        if ch != b"\n":
+                            chars.extend(ch)
+                    toks.append(chars.decode("utf-8", errors="replace"))
+                    buf = f.read(row_bytes)
+                    if len(buf) != row_bytes:
+                        raise ValueError(f"truncated word2vec vector at row {i}")
+                    vecs[i] = np.frombuffer(buf, "<f4")
+        else:
+            with open(path, encoding="utf-8") as f:
+                header = f.readline().split()
+                vocab_size, dim = int(header[0]), int(header[1])
+                vecs = np.empty((vocab_size, dim), np.float32)
+                for i in range(vocab_size):
+                    parts = f.readline().rstrip("\n").split(" ")
+                    toks.append(parts[0])
+                    vecs[i] = np.asarray(parts[1 : dim + 1], np.float32)
+        self.vocab = pd.Index(toks)
+        self.vectors = vecs.astype(np.float64)
+        self.dim = int(dim)
         return self
 
     def train(self, values: np.ndarray) -> "PretrainedEmbedder":

@@ -297,9 +297,107 @@ def _positive_paths(forest: RandomForest) -> tuple[list[dict], list[set]]:
 
 _BLOCKABLE_SIMS = ("jac", "cos", "dice", "overlap", "exm", "anm")
 
+#: branch-and-bound node budget for strategy='optimal' before falling back
+#: to greedy (the reference's DFS has no budget; its feature grids are tiny)
+_OPTIMAL_NODE_CAP = 500_000
+
+
+def _rule_for(s, tau: float):
+    """(FeatureSpec, threshold) -> executable BlockingRule."""
+    from ..config import BlockingRule
+
+    if s.sim == "exm":
+        return BlockingRule(attr=s.attr, sim="exm", tok="none", threshold=1.0)
+    if s.sim == "anm":
+        return BlockingRule(attr=s.attr, sim="anm", tok="none", threshold=tau)
+    return BlockingRule(attr=s.attr, sim=s.sim, tok=s.tok, q=s.q, threshold=tau)
+
+
+def _optimal_rules_comb(forest, bounds_list, trees_of, grid):
+    """Exact multi-group knapsack over (feature, threshold) items — the
+    reference's get_optimal_rules_comb / dfs_optimal
+    (blocker/extract_formula.py:381-460) re-expressed as bitmask
+    branch-and-bound.
+
+    Groups = blockable features; each contributes <= 1 threshold from its
+    grid; item value = tightness rank (tightest tau in an f-item grid of
+    size g has value g, the loosest value 1 — the reference's
+    ``feature_div - val``).  A selection is FEASIBLE when more than half the
+    trees have every positive path covered (the reference counts a tree
+    node visited when all its rule-node edges are selected,
+    extract_formula.py:395-405); trees with no positive paths count as
+    covered, matching degree==0 semantics.  Returns [(feature, tau), ...]
+    or None when infeasible / over the node budget."""
+    n_paths = len(bounds_list)
+    n_trees = len(forest.trees)
+    # tree -> bitmask of its positive paths
+    tree_paths = [0] * n_trees
+    for p, ts in enumerate(trees_of):
+        for t in ts:
+            tree_paths[t] |= 1 << p
+    need = n_trees // 2 + 1  # "> num_tree / 2"
+    feats = sorted(grid)
+    # per (feature, grid position): covered-path bitmask; grids ordered
+    # TIGHT -> LOOSE so values descend like the reference's val index
+    items: list[list[tuple[int, float, int]]] = []  # (value, tau, mask)
+    for f in feats:
+        pb = np.array([p.get(f, -np.inf) for p in bounds_list])
+        taus = grid[f][::-1]  # tight -> loose
+        g = len(taus)
+        row = []
+        for pos, tau in enumerate(taus):
+            mask = 0
+            for p in np.flatnonzero(pb >= tau):
+                mask |= 1 << int(p)
+            row.append((g - pos, float(tau), mask))
+        items.append(row)
+    # max attainable value from feature i onward (for bound pruning)
+    suffix_max = [0] * (len(feats) + 1)
+    for i in range(len(feats) - 1, -1, -1):
+        suffix_max[i] = suffix_max[i + 1] + (items[i][0][0] if items[i] else 0)
+
+    best_val = -1
+    best_sel: list[tuple[int, float]] | None = None
+    nodes = 0
+
+    def n_covered_trees(mask: int) -> int:
+        c = 0
+        for tp in tree_paths:
+            if tp & mask == tp:
+                c += 1
+        return c
+
+    def dfs(i: int, val: int, mask: int, sel: list) -> bool:
+        """Returns False when the node budget is blown."""
+        nonlocal best_val, best_sel, nodes
+        nodes += 1
+        if nodes > _OPTIMAL_NODE_CAP:
+            return False
+        if n_covered_trees(mask) >= need:
+            if val > best_val:
+                best_val = val
+                best_sel = list(sel)
+            # feasible: stop here like the reference's dfs_optimal (adding
+            # more rules would only enlarge the candidate set)
+            return True
+        if i >= len(feats) or val + suffix_max[i] <= best_val:
+            return True
+        for v, tau, m in items[i]:
+            sel.append((feats[i], tau))
+            ok = dfs(i + 1, val + v, mask | m, sel)
+            sel.pop()
+            if not ok:
+                return False
+        return dfs(i + 1, val, mask, sel)
+
+    if not dfs(0, 0, 0, []):
+        return None
+    return best_sel
+
 
 def rules_from_forest(
-    forest: RandomForest, specs, *, target_cover: float = 1.0, max_rules: int = 8
+    forest: RandomForest, specs, *, target_cover: float = 1.0, max_rules: int = 8,
+    strategy: str = "greedy",
 ):
     """Trained forest -> executable ``BlockingRule`` list via greedy
     path-cover with threshold loosening.
@@ -320,7 +418,18 @@ def rules_from_forest(
     (levSim / overlap coefficient have no self-join here) are reported as
     ``uncovered`` — the caller decides whether that recall hole is
     acceptable (the reference similarly drops 'jaro'-style features,
-    graph.py:292-295)."""
+    graph.py:292-295).
+
+    ``strategy='optimal'`` runs the reference's exhaustive multi-group
+    knapsack instead (get_optimal_rules_comb + dfs_optimal,
+    extract_formula.py:381-460): each blockable feature contributes at most
+    ONE (feature, threshold) item, an item's value is its tightness rank
+    (tighter tau -> higher value -> fewer candidate pairs), and a selection
+    is feasible once more than half the forest's trees have EVERY positive
+    path covered — the branch-and-bound maximizes total tightness over
+    feasible selections.  Falls back to greedy (with a warning) if the
+    search space exceeds ``_OPTIMAL_NODE_CAP`` nodes or no feasible
+    selection exists."""
     from ..config import BlockingRule
 
     spec_by_idx = {i: s for i, s in enumerate(specs)}
@@ -337,6 +446,17 @@ def rules_from_forest(
         bs = sorted({np.floor(b * 1e4) / 1e4 for p in bounds_list for ff, b in p.items() if ff == f})
         if bs:
             grid[f] = np.asarray(bs)
+    if strategy == "optimal":
+        sel = _optimal_rules_comb(forest, bounds_list, trees_of, grid)
+        if sel is not None:
+            return [_rule_for(spec_by_idx[f], tau) for f, tau in sel]
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "rules_from_forest: optimal search infeasible or too large; "
+            "falling back to greedy")
+    elif strategy != "greedy":
+        raise ValueError(f"unknown strategy {strategy!r}")
     rules: list[BlockingRule] = []
     target = int(np.ceil(target_cover * n_paths))
     while covered.sum() < target and len(rules) < max_rules:
@@ -350,14 +470,7 @@ def rules_from_forest(
         if best is None:
             break
         _, tau, f = best
-        s = spec_by_idx[f]
-        if s.sim == "exm":
-            rules.append(BlockingRule(attr=s.attr, sim="exm", tok="none", threshold=1.0))
-        elif s.sim == "anm":
-            rules.append(BlockingRule(attr=s.attr, sim="anm", tok="none", threshold=tau))
-        else:
-            rules.append(BlockingRule(attr=s.attr, sim=s.sim, tok=s.tok, q=s.q,
-                                      threshold=tau))
+        rules.append(_rule_for(spec_by_idx[f], tau))
         pb = np.array([p.get(f, -np.inf) for p in bounds_list])
         covered |= pb >= tau
         del grid[f]  # one rule per feature (loosest useful tau already chosen)
@@ -654,3 +767,163 @@ def knn_filter_matches(
         return t.set_column(i, label_col, pa.array(lab, pa.int64()))
 
     return matches.map_batches(demote, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Ditto-style deep-learning matcher shim (torch-optional)
+# ---------------------------------------------------------------------------
+
+
+def ditto_serialize(vals1: dict, vals2: dict, attrs: list[str]) -> np.ndarray:
+    """Serialize record pairs into Ditto's input format (Li et al., VLDB'21
+    "Deep Entity Matching with Pre-Trained Language Models"):
+    ``COL a1 VAL v1 COL a2 VAL v2 ... [SEP] COL a1 VAL v1' ...``.
+    ``vals1``/``vals2`` map attr -> object ndarray (one value per pair)."""
+    n = len(next(iter(vals1.values()))) if vals1 else 0
+    parts = []
+    for side in (vals1, vals2):
+        seg = None
+        for a in attrs:
+            v = pd.Series(side[a]).fillna("").astype(str)
+            piece = ("COL " + a + " VAL ") + v
+            seg = piece if seg is None else seg + " " + piece
+        parts.append(seg if seg is not None else pd.Series([""] * n))
+    return (parts[0] + " [SEP] " + parts[1]).to_numpy(object)
+
+
+class DittoScorer:
+    """Actor-pool Ditto matcher over candidate-pair batches — the DL
+    alternative to RFScorer with the SAME output surface {id1, id2, proba,
+    label} (reference matcher/ditto.py + matcher/deep_matcher.py wrap torch
+    models the same way: serialize pairs, score, threshold).
+
+    ``model`` is any callable ``model(texts: list[str]) -> array of match
+    probabilities`` — a fine-tuned transformer wrapped in a closure when
+    torch is available (see ``load_ditto_model``), or a deterministic stub in
+    tests.  Setup happens ONCE per actor in __init__ (model fetched from the
+    object store); __call__ scores one batch.  Batches must carry
+    id1/id2 plus ``l_{attr}``/``r_{attr}`` raw-value columns."""
+
+    def __init__(self, model_ref, attrs, threshold: float = 0.5):
+        self.model = ray.get(model_ref)
+        self.attrs = list(attrs)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+                 "proba": pa.array([], pa.float64()), "label": pa.array([], pa.int8())}
+            )
+        v1 = {a: np.asarray(t.column(f"l_{a}").to_numpy(zero_copy_only=False), dtype=object)
+              for a in self.attrs}
+        v2 = {a: np.asarray(t.column(f"r_{a}").to_numpy(zero_copy_only=False), dtype=object)
+              for a in self.attrs}
+        texts = ditto_serialize(v1, v2, self.attrs)
+        p = np.asarray(self.model(list(texts)), np.float64)
+        return pa.table(
+            {
+                "id1": t.column("id1"),
+                "id2": t.column("id2"),
+                "proba": pa.array(p, pa.float64()),
+                "label": pa.array((p >= self.threshold).astype(np.int8), pa.int8()),
+            }
+        )
+
+
+def load_ditto_model(checkpoint_path: str):
+    """Load a fine-tuned Ditto torch checkpoint into a scoring callable.
+
+    torch is not shipped in this environment, so the import is guarded —
+    the rest of the pipeline (serialization, actor pool, join plumbing) is
+    torch-free and tested with stub models."""
+    try:
+        import torch  # type: ignore  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - torch absent here
+        raise NotImplementedError(
+            "Ditto model loading needs torch, which is not available in this "
+            "environment; pass any callable model(texts) -> probas to "
+            "ditto_match instead (see DittoScorer)"
+        ) from exc
+    raise NotImplementedError(
+        "wire your fine-tuned checkpoint here: load the tokenizer+model, "
+        f"return lambda texts: sigmoid(model(tokenize(texts))) [{checkpoint_path}]"
+    )  # pragma: no cover
+
+
+def ditto_match(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    attrs: list[str],
+    model,
+    *,
+    threshold: float = 0.5,
+    concurrency=(1, 8),
+    batch_size: int = 512,
+    broadcast: bool | None = None,
+    broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Score candidate pairs with a Ditto-style model: raw attr values reach
+    the pairs via the same broadcast-or-hash_join switch as feature
+    extraction, then an ACTOR POOL (model held once per actor) scores
+    serialized pair texts in batches.  Output {id1, id2, proba, label} —
+    drop-in for rf_match."""
+    from ..functions.hashing import get_broadcast as _gb
+
+    model_ref = ray.put(model)
+    proj = docs.select_columns(["conv_id"] + list(attrs))
+    if broadcast is None:
+        n_records = n_records if n_records is not None else docs.count()
+        broadcast = n_records <= broadcast_limit
+    if broadcast:
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(proj)
+        idx = pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False),
+                                  dtype=object))
+        cols = {a: np.asarray(tbl.column(a).to_numpy(zero_copy_only=False), dtype=object)
+                for a in attrs}
+        state_ref = ray.put((idx, cols))
+
+        def attach(t: pa.Table) -> pa.Table:
+            idx, cols = _gb(state_ref)
+            i1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+            i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+            r1, r2 = idx.get_indexer(i1), idx.get_indexer(i2)
+            ok = (r1 >= 0) & (r2 >= 0)
+            out = {"id1": pa.array(i1[ok], pa.string()),
+                   "id2": pa.array(i2[ok], pa.string())}
+            for a in attrs:
+                out[f"l_{a}"] = pa.array(
+                    pd.Series(cols[a][r1[ok]]).fillna("").astype(str), pa.string())
+                out[f"r_{a}"] = pa.array(
+                    pd.Series(cols[a][r2[ok]]).fillna("").astype(str), pa.string())
+            return pa.table(out)
+
+        joined = pairs.map_batches(attach, batch_format="pyarrow")
+    else:
+        from .joins import hash_join
+
+        def ren(prefix):
+            def f(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [("cid_" + prefix if c == "conv_id" else f"{prefix}_{c}")
+                     for c in t.column_names])
+
+            return f
+
+        left = proj.map_batches(ren("l"), batch_format="pyarrow")
+        right = proj.map_batches(ren("r"), batch_format="pyarrow")
+        joined = hash_join(pairs.select_columns(["id1", "id2"]), left,
+                           on="id1", right_on="cid_l", num_partitions=num_partitions)
+        joined = hash_join(joined, right, on="id2", right_on="cid_r",
+                           num_partitions=num_partitions)
+    return joined.map_batches(
+        DittoScorer,
+        fn_constructor_args=(model_ref, list(attrs), threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -133,6 +133,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:  # one failure type for malformed media
+                raise UnsupportedMediaError("truncated WAV fmt chunk")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt_tag != 1 or bits != 16:

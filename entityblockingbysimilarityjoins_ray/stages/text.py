@@ -9,18 +9,15 @@ lockstep deliberately — the heuristics are simple on purpose."""
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
-# RE2-compatible ASCII whitespace class (SQL oracle uses the same class)
-_WS = re.compile(r"[ \t\n\f\r]+")
-_ALPHA = re.compile(r"[^a-zA-Z]")
-_DIGIT = re.compile(r"[^0-9]")
-_CJK = re.compile(r"[一-鿿]")
+# the operators below use the ASCII whitespace class [ \t\n\f\r] and
+# RE2 char classes via pyarrow.compute — the SAME regex engine the DuckDB
+# oracle runs, so Ray and SQL stay in lockstep by construction
 
 # tiny deterministic stopword alternations for the heuristic language id;
 # ONE alternation per language so non-overlapping scan order matches the SQL
@@ -32,46 +29,57 @@ LANG_STOPWORDS = {
 }
 
 
+def _text_col(t, text_col):
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+
+
 def text_stats(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -> "ray.data.Dataset":
     """n_chars, n_words (\\s+ tokens), n_alpha, n_digit per doc — all ints
-    (order-independent, engine-comparison-safe)."""
+    (order-independent, engine-comparison-safe).  Pure pyarrow.compute
+    kernels (RE2) — no per-row Python; same engine as the DuckDB oracle."""
+    import pyarrow.compute as pc
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[text_col].fillna("")
-        words = t.str.split(_WS)
-        n_words = words.map(lambda w: sum(1 for x in w if x)).astype(np.int64)
-        return pd.DataFrame(
+    def f(t: pa.Table) -> pa.Table:
+        s = _text_col(t, text_col)
+        return pa.table(
             {
-                id_col: df[id_col],
-                "n_chars": t.str.len().astype(np.int64),
-                "n_words": n_words,
-                "n_alpha": t.str.replace(_ALPHA, "", regex=True).str.len().astype(np.int64),
-                "n_digit": t.str.replace(_DIGIT, "", regex=True).str.len().astype(np.int64),
+                id_col: t.column(id_col),
+                "n_chars": pc.cast(pc.utf8_length(s), pa.int64()),
+                "n_words": pc.cast(pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64()),
+                "n_alpha": pc.cast(pc.count_substring_regex(s, "[a-zA-Z]"), pa.int64()),
+                "n_digit": pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64()),
             }
         )
 
-    return docs.map_batches(f, batch_format="pandas")
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def lang_id(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -> "ray.data.Dataset":
     """Deterministic heuristic language id: CJK chars -> zh, else the
     stopword list with the most hits (de/fr/es), else en."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        t = " " + df[text_col].fillna("").astype(str) + " "
-        scores = {
-            lang: t.str.count(pattern).to_numpy(np.int64)
-            for lang, pattern in LANG_STOPWORDS.items()
-        }
-        sc = np.column_stack([scores[l] for l in sorted(LANG_STOPWORDS)])
-        langs = np.array(sorted(LANG_STOPWORDS))
-        best = langs[np.argmax(sc, axis=1)]
-        best = np.where(sc.max(axis=1) == 0, "en", best)
-        iscjk = t.str.contains(_CJK).to_numpy(bool)
-        pred = np.where(iscjk, "zh", best)
-        return pd.DataFrame({id_col: df[id_col], "pred_lang": pred})
+    import pyarrow.compute as pc
 
-    return docs.map_batches(f, batch_format="pandas")
+    def f(t: pa.Table) -> pa.Table:
+        s = _text_col(t, text_col)
+        sp = pa.scalar(" ")
+        padded = pc.binary_join_element_wise(sp, s, sp, pa.scalar(""))
+        sc = np.column_stack([
+            np.asarray(pc.count_substring_regex(padded, LANG_STOPWORDS[l]),
+                       dtype=np.int64)
+            for l in sorted(LANG_STOPWORDS)
+        ]) if t.num_rows else np.zeros((0, len(LANG_STOPWORDS)), np.int64)
+        langs = np.array(sorted(LANG_STOPWORDS))
+        best = langs[np.argmax(sc, axis=1)] if t.num_rows else np.empty(0, "U2")
+        best = np.where(sc.max(axis=1) == 0, "en", best) if t.num_rows else best
+        iscjk = np.asarray(pc.match_substring_regex(padded, "[一-鿿]"), dtype=bool)
+        pred = np.where(iscjk, "zh", best)
+        return pa.table({id_col: t.column(id_col),
+                         "pred_lang": pa.array(pred, pa.string())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def fingerprint_md5(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -> "ray.data.Dataset":
@@ -88,7 +96,6 @@ def fingerprint_md5(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text
 # BPE-ish pretokenizer (GPT-2-style contractions / letter runs / digit runs /
 # punct runs, RE2-compatible so the DuckDB oracle runs the SAME pattern)
 BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-_BPE = re.compile(BPE_PATTERN)
 
 
 def token_count(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -> "ray.data.Dataset":
@@ -99,13 +106,19 @@ def token_count(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -
     suffixes, space-prefixed letter runs, digit runs, punctuation runs) —
     the standard cheap proxy for LLM token budget accounting."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[text_col].fillna("")
-        n_ws = t.str.split(_WS).map(lambda w: sum(1 for x in w if x)).astype(np.int64)
-        n_bpe = t.str.count(_BPE).astype(np.int64)
-        return pd.DataFrame({id_col: df[id_col], "n_tokens_ws": n_ws, "n_tokens_bpe": n_bpe})
+    import pyarrow.compute as pc
 
-    return docs.map_batches(f, batch_format="pandas")
+    def f(t: pa.Table) -> pa.Table:
+        s = _text_col(t, text_col)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens_ws": pc.cast(
+                pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64()),
+            "n_tokens_bpe": pc.cast(
+                pc.count_substring_regex(s, BPE_PATTERN), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 _WINNOW_BASE = np.uint64(1000003)
@@ -161,28 +174,30 @@ def quality_score(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text")
     """Simple quality features: alpha ratio, digit ratio, mean word length,
     plus an int 'ok' flag (length in [20, 1e6] and alpha_ratio >= 0.5)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[text_col].fillna("")
-        n = t.str.len().to_numpy(np.float64)
-        na = t.str.replace(_ALPHA, "", regex=True).str.len().to_numpy(np.float64)
-        nd = t.str.replace(_DIGIT, "", regex=True).str.len().to_numpy(np.float64)
-        words = t.str.split(_WS).map(lambda w: [x for x in w if x])
-        nw = words.map(len).to_numpy(np.float64)
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        s = _text_col(t, text_col)
+        n = np.asarray(pc.utf8_length(s), dtype=np.float64)
+        na = np.asarray(pc.count_substring_regex(s, "[a-zA-Z]"), dtype=np.float64)
+        nd = np.asarray(pc.count_substring_regex(s, "[0-9]"), dtype=np.float64)
+        nw = np.asarray(pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), dtype=np.float64)
+        # sum of word lengths == non-whitespace-class chars (split removes
+        # exactly the whitespace class)
+        wchars = np.asarray(pc.count_substring_regex(s, r"[^ \t\n\f\r]"), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             alpha_ratio = np.nan_to_num(na / n)
             digit_ratio = np.nan_to_num(nd / n)
-            mean_wlen = np.nan_to_num(
-                words.map(lambda w: sum(map(len, w))).to_numpy(np.float64) / np.maximum(nw, 1)
-            )
+            mean_wlen = np.nan_to_num(wchars / np.maximum(nw, 1))
         ok = ((n >= 20) & (n <= 1e6) & (alpha_ratio >= 0.5)).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: df[id_col],
-                "alpha_ratio": alpha_ratio,
-                "digit_ratio": digit_ratio,
-                "mean_word_len": mean_wlen,
-                "ok": ok,
+                id_col: t.column(id_col),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+                "digit_ratio": pa.array(digit_ratio, pa.float64()),
+                "mean_word_len": pa.array(mean_wlen, pa.float64()),
+                "ok": pa.array(ok, pa.int64()),
             }
         )
 
-    return docs.map_batches(f, batch_format="pandas")
+    return docs.map_batches(f, batch_format="pyarrow")

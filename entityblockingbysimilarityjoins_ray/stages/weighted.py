@@ -431,6 +431,15 @@ def setsim_rs_join_weighted(
 
     idx = weighted_token_index_rs(toks_a, toks_b)
     index_a, va, oa, index_b, vb, ob = idx
+    # candidate dedup downstream keys on 64-bit id hashes (dedupe_pairs on
+    # k1/k2): a collision must fail LOUDLY like the hash-keyed verify paths
+    # (_idh_token_index_rs), not silently drop a genuine pair
+    ha = pd.Index(hash_strings(np.asarray(index_a.to_numpy(), dtype=object)))
+    hb = pd.Index(hash_strings(np.asarray(index_b.to_numpy(), dtype=object)))
+    if not (ha.is_unique and hb.is_unique):
+        raise RuntimeError(
+            "64-bit id-hash collision in weighted RS join index; the "
+            "hash-keyed pair dedup is unsound for this id set")
     n = len(index_a) + len(index_b)
     if n > cfg.broadcast_limit:
         raise ValueError(

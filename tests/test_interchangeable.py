@@ -198,3 +198,100 @@ def test_pretrained_glove_embedder(tmp_path):
     assert np.allclose(M[0], M[1])
     assert np.allclose(np.linalg.norm(M[:2], axis=1), 1.0)
     assert np.allclose(M[2], 0.0)
+
+
+def test_extract_features_ic_join_path_identical(ray_session):
+    """broadcast_limit=0 forces the hash_join path; output must match the
+    broadcast path exactly (same IC max-over-group semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        FeatureSpec,
+        extract_features_ic,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d"],
+        "head": ["united states", "usa", "germany", "france"],
+    }))
+    groups = pd.DataFrame({"val": ["united states", "usa"],
+                           "group_rep": ["united states", "united states"]})
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id1": ["a", "a", "c"], "id2": ["b", "c", "d"]}))
+    specs = (FeatureSpec("head", "jac", "dlm"),
+             FeatureSpec("head", "overlap", "dlm"),
+             FeatureSpec("head", "exm", "none"),
+             FeatureSpec("head", "lev", "none"))
+    bc = (extract_features_ic(pairs, docs, groups, "head", specs)
+          .to_pandas().set_index(["id1", "id2"]).sort_index())
+    jn = (extract_features_ic(pairs, docs, groups, "head", specs,
+                              broadcast_limit=0)
+          .to_pandas().set_index(["id1", "id2"]).sort_index())
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])
+
+
+def test_second_round_match_join_path(ray_session):
+    """second_round_match stays green when every stage is forced onto the
+    join (non-broadcast) path via broadcast_limit=0 in extract_features_ic's
+    switch — exercised through a direct extract_features_ic call on the same
+    fixture as test_second_round_match_recovers_ic_pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        FeatureSpec,
+        extract_features_ic,
+    )
+    from entityblockingbysimilarityjoins_ray.stages.matcher import threshold_match
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d"],
+        "head": ["united states", "usa", "germany", "france"],
+    }))
+    groups = pd.DataFrame({"val": ["united states", "usa"],
+                           "group_rep": ["united states", "united states"]})
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id1": ["a", "a", "c"], "id2": ["b", "c", "d"]}))
+    specs = (FeatureSpec("head", "jac", "dlm"),)
+    feats = extract_features_ic(pairs, docs, groups, "head", specs,
+                                broadcast_limit=0)
+    out = threshold_match(feats, score_cols=["head_jac_dlm"], threshold=0.9).to_pandas()
+    assert set(zip(out["id1"], out["id2"])) == {("a", "b")}
+
+
+def test_load_word2vec_binary_and_text_roundtrip(tmp_path):
+    """The numpy word2vec parser reads both binary and text variants of the
+    public format (header line + token + float32 rows)."""
+    import struct
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import (
+        PretrainedEmbedder,
+    )
+
+    rng = np.random.default_rng(9)
+    toks = ["alpha", "beta", "gamma"]
+    V = rng.normal(size=(3, 4)).astype(np.float32)
+
+    pbin = tmp_path / "vec.bin"
+    with open(pbin, "wb") as f:
+        f.write(b"3 4\n")
+        for t, row in zip(toks, V):
+            f.write(t.encode() + b" " + row.tobytes() + b"\n")
+    e = PretrainedEmbedder().load_word2vec(str(pbin), binary=True)
+    assert list(e.vocab) == toks and e.dim == 4
+    assert np.allclose(e.vectors, V.astype(np.float64))
+
+    ptxt = tmp_path / "vec.txt"
+    with open(ptxt, "w") as f:
+        f.write("3 4\n")
+        for t, row in zip(toks, V):
+            f.write(t + " " + " ".join(repr(float(x)) for x in row) + "\n")
+    e2 = PretrainedEmbedder().load_word2vec(str(ptxt), binary=False)
+    assert list(e2.vocab) == toks
+    assert np.allclose(e2.vectors, V.astype(np.float64))
+
+    # embed() runs off the loaded vectors
+    M = e.embed(np.array(["alpha beta", "gamma"], dtype=object))
+    assert M.shape == (2, 4)
+    assert np.allclose(np.linalg.norm(M, axis=1), 1.0)

@@ -109,6 +109,49 @@ def test_rules_from_forest_covers_paths():
         assert 0.0 < r.threshold < 1.0
 
 
+def test_rules_from_forest_optimal_knapsack():
+    """strategy='optimal' (reference dfs_optimal, extract_formula.py:381-460)
+    returns a feasible selection — more than half the trees have EVERY
+    positive path covered — at least as tight as greedy's on each shared
+    feature, and never raises on the toy forest."""
+    from entityblockingbysimilarityjoins_ray.stages.features import FeatureSpec
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        _positive_paths,
+        rules_from_forest,
+    )
+
+    X, y = _toy_features()
+    specs = (FeatureSpec("doc", "jac", "dlm"), FeatureSpec("doc", "cos", "dlm"),
+             FeatureSpec("noi", "lev", "none"))
+    X = X.rename(columns={"noise": specs[2].name})
+    rf = RandomForest.train(X, y, n_estimators=11, max_depth=4, seed=42)
+    opt = rules_from_forest(rf, specs, strategy="optimal")
+    assert opt, "optimal selection empty"
+
+    # feasibility: > half of trees fully covered by the selected rules
+    bounds_list, trees_of = _positive_paths(rf)
+    name_to_idx = {s.name: i for i, s in enumerate(specs)}
+    covered = set()
+    for r in opt:
+        f = name_to_idx[f"{r.attr}_{r.sim}_{r.tok}"]
+        covered |= {p for p, b in enumerate(bounds_list)
+                    if b.get(f, -1) >= r.threshold}
+    tree_paths = {}
+    for p, ts in enumerate(trees_of):
+        for t in ts:
+            tree_paths.setdefault(t, set()).add(p)
+    full = sum(1 for t in range(len(rf.trees))
+               if tree_paths.get(t, set()) <= covered)
+    assert full > len(rf.trees) / 2, (full, len(rf.trees))
+
+    # optimal never picks a LOOSER threshold than greedy for a feature both use
+    greedy = rules_from_forest(rf, specs, strategy="greedy")
+    gthr = {(r.attr, r.sim): r.threshold for r in greedy}
+    for r in opt:
+        if (r.attr, r.sim) in gthr:
+            assert r.threshold >= gthr[(r.attr, r.sim)] - 1e-9
+
+
 def test_train_rules_block_match_loop(tiny_fixture, tiny_docs, ray_session):
     """The reference's central loop: self-supervised sample -> RF -> derived
     blocking rules -> block -> match; F1 >= 0.99 on the planted fixture."""
@@ -233,3 +276,52 @@ def test_active_learning_trains_with_few_labels():
     m2, info2 = active_learning_train(X, y, seed_size=40, max_iteration=15)
     assert info == info2
     assert np.array_equal(model.predict_proba(X.to_numpy()), m2.predict_proba(X.to_numpy()))
+
+
+def test_ditto_scorer_stub_model(ray_session):
+    """DittoScorer surface with a stub model: serialization reaches the
+    model, output schema matches rf_match; torch loader raises the documented
+    NotImplementedError when torch is absent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pytest
+
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        ditto_match,
+        ditto_serialize,
+        load_ditto_model,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d"],
+        "head": ["apple pie", "apple pie", "banana", "cherry"],
+    }))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id1": ["a", "a", "c"], "id2": ["b", "c", "d"]}))
+
+    def stub_model(texts):
+        # match iff both sides serialize identically
+        return np.array([1.0 if t.split(" [SEP] ")[0] == t.split(" [SEP] ")[1]
+                         else 0.0 for t in texts])
+
+    for limit in (2_000_000, 0):  # broadcast path and join path
+        out = ditto_match(pairs, docs, ["head"], stub_model,
+                          broadcast_limit=limit).to_pandas()
+        out = out.sort_values(["id1", "id2"]).reset_index(drop=True)
+        assert list(out.columns) == ["id1", "id2", "proba", "label"]
+        got = dict(zip(zip(out["id1"], out["id2"]), out["label"]))
+        assert got == {("a", "b"): 1, ("a", "c"): 0, ("c", "d"): 0}
+
+    s = ditto_serialize({"x": np.array(["1"], object)},
+                        {"x": np.array(["2"], object)}, ["x"])
+    assert s[0] == "COL x VAL 1 [SEP] COL x VAL 2"
+
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+    if not has_torch:
+        with pytest.raises(NotImplementedError):
+            load_ditto_model("/tmp/nonexistent.ckpt")

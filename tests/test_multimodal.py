@@ -85,3 +85,22 @@ def test_corrupt_payloads_quarantined(ray_session):
     out = MediaDecoder()(t)
     assert out.num_rows == len(bad)
     assert set(out.column("status").to_pylist()) <= {"corrupt", "unsupported"}
+
+
+def test_decode_wav_truncated_fmt_raises_media_error():
+    """A truncated fmt chunk raises UnsupportedMediaError, not struct.error —
+    one failure type for direct decoder callers."""
+    import struct
+
+    import pytest
+
+    from entityblockingbysimilarityjoins_ray.stages.multimodal import (
+        UnsupportedMediaError,
+        decode_wav,
+    )
+
+    body = b"\x01\x00\x01\x00"  # 4-byte fmt chunk (< 16)
+    payload = b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WAVE"
+    payload += b"fmt " + struct.pack("<I", len(body)) + body
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(payload)

@@ -97,3 +97,23 @@ def test_entry_smoke(contract):
     res = contract.entry()
     df = _to_pandas(res)
     assert len(df) > 0 and set(df.columns) == {"conv_id", "entity_id"}
+
+
+def test_rule_from_feature_name_aliases():
+    """Reference alias sim names and two-segment lev forms parse
+    (graph.py sort_ranges2 builds lev_sim/lev_dist; long alias names
+    jaccard/cosine/exact/abs appear in py_entitymatching features)."""
+    from entityblockingbysimilarityjoins_ray.config import rule_from_feature_name
+
+    r = rule_from_feature_name("title_title_jaccard_dlm", 0.7)
+    assert (r.attr, r.sim, r.tok) == ("title", "jac", "dlm")
+    r = rule_from_feature_name("name_cosine_qgm3", 0.6)
+    assert (r.attr, r.sim, r.tok, r.q) == ("name", "cos", "qgm", 3)
+    r = rule_from_feature_name("head_exact", 1.0)
+    assert (r.attr, r.sim) == ("head", "exm")
+    r = rule_from_feature_name("price_abs", 0.9)
+    assert (r.attr, r.sim) == ("price", "anm")
+    r = rule_from_feature_name("title_title_lev_sim", 0.8)
+    assert (r.attr, r.sim) == ("title", "lev")
+    r = rule_from_feature_name("title_lev_dist", 3.0)
+    assert (r.attr, r.sim) == ("title", "lev")

@@ -63,3 +63,81 @@ def test_bags_are_sorted_unique():
     for i in range(2):
         row = vals[offs[i] : offs[i + 1]]
         assert np.all(np.diff(row.astype(np.int64)) > 0)  # strictly increasing
+
+
+def test_cjk_tokenization_matches_oracle():
+    """CJK wide-string semantics (reference ChineseTable, dataframe.h:56-90):
+    dlm keeps CJK tokens intact (unicode-correct hashing); qgm treats CJK
+    chars as non-alphanumeric separators (reference isalnum byte semantics),
+    so only the embedded ASCII runs produce grams."""
+    import pyarrow as pa
+
+    from entityblockingbysimilarityjoins_ray.functions.tokenize import (
+        oracle_tokens,
+        tokenize_array,
+    )
+    from entityblockingbysimilarityjoins_ray.functions.hashing import hash_strings
+
+    texts = [
+        "北京 大学 计算机 系",
+        "北京 大学 物理 系",
+        "数据 ray123 处理 引擎",
+        "mixed 北京abc123 tokens",
+        "",
+    ]
+    arr = pa.array(texts, pa.string())
+    for tok in ("dlm", "wspace", "alphanumeric"):
+        vals, offs = tokenize_array(arr, tok)
+        for i, s in enumerate(texts):
+            got = sorted(vals[offs[i]:offs[i + 1]].tolist())
+            exp = sorted(set(hash_strings(
+                np.array(oracle_tokens(s, tok), dtype=object)).tolist())) \
+                if oracle_tokens(s, tok) else []
+            assert got == exp, (tok, s)
+    # qgm: only ASCII alnum runs survive (oracle enforces isascii+isalnum)
+    vals, offs = tokenize_array(arr, "qgm", 3)
+    assert offs[1] - offs[0] == 0  # pure-CJK row -> no grams
+    n_row3 = offs[4] - offs[3]
+    exp_row3 = set(oracle_tokens(texts[3], "qgm", 3))
+    assert n_row3 == len(exp_row3)  # {mixed-run grams} x {abc123 grams}
+
+
+def test_cjk_setsim_join_matches_bruteforce(ray_session):
+    """Small dlm set-sim self-join over CJK docs == pure-python oracle."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+    from entityblockingbysimilarityjoins_ray.functions.tokenize import oracle_tokens
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        setsim_self_join,
+        tokenize_docs,
+    )
+
+    docs = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(6)],
+        "doc": [
+            "北京 大学 计算机 系 研究",
+            "北京 大学 计算机 系 实验",
+            "上海 交通 大学 计算机",
+            "北京 大学 物理 系 研究",
+            "东京 大学 工学部",
+            "北京 大学 计算机 系 研究",
+        ],
+    })
+    toks = tokenize_docs(rd.from_pandas(docs), "doc", "dlm")
+    out = setsim_self_join(toks, sim="jac", threshold=0.5,
+                           cfg=PipelineConfig(pair_partitions=4)).to_pandas()
+    got = {(r.id1, r.id2): r.sim for r in out.itertuples()}
+    exp = {}
+    for (i1, d1), (i2, d2) in itertools.combinations(
+            zip(docs["conv_id"], docs["doc"]), 2):
+        t1, t2 = set(oracle_tokens(d1, "dlm")), set(oracle_tokens(d2, "dlm"))
+        j = len(t1 & t2) / len(t1 | t2)
+        if j >= 0.5:
+            exp[tuple(sorted((i1, i2)))] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
