@@ -777,6 +777,30 @@ def q_group_values(sf_dir: str):
     )
 
 
+def q_ic_graph(sf_dir: str):
+    """Semantic value graph with two-hop closure (cpp/group/graph.cc
+    buildSemanticGraph + the two-hop round, graph.cc:95-156): near-dup doc
+    pairs supply the candidate value pairs; edges are doc-embedding cosine
+    >= tau; one closure round adds verified neighbor-of-neighbor edges.
+    Rows-only (hashed-embedding cosine has no SQL twin; the brute-force
+    oracle lives in tests/test_semantic_graph.py)."""
+    from ..stages.semantic_graph import semantic_graph
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"conv_id": df["doc_id"].astype(str).str.zfill(12), "doc": df["text"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    toks = B.tokenize_docs(docs, "doc", "alphanumeric").materialize()
+    matches = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=_cfg())
+    g = semantic_graph(matches, docs, "doc", tau=0.8, two_hop=True)
+    return g.map_batches(
+        lambda df: df.sort_values(["val1", "val2"]).reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+
 def q_minhash_lsh_docs(sf_dir: str):
     """MinHash-LSH near-dup candidates, exact-verified (rows-only check:
     LSH recall < 1 by construction, so no exact SQL twin)."""
@@ -1044,6 +1068,7 @@ QUERIES = {
     "topk_allscore_weighted": q_topk_allscore_weighted,
     "sample_down": q_sample_down,
     "group_values": q_group_values,
+    "ic_graph": q_ic_graph,
     "cluster_jac": q_cluster_jac,
     "megallen_wide": q_megallen_wide,
     "er_f1_report": q_er_f1_report,
@@ -1102,6 +1127,6 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
-    # fingerprint_winnow, embed_dup_pairs_lsh,
+    # fingerprint_winnow, embed_dup_pairs_lsh, ic_graph,
     # ann_topk_ivf, multimodal_decode
 }

@@ -1,0 +1,551 @@
+"""Semantic value graph — the reference's C++ ``group`` module
+(/root/reference/cpp/group/graph.h, graph.cc, group.cc) re-expressed
+Ray-Data-first.
+
+The reference builds an undirected graph over the DISTINCT attribute values
+seen in the match result: vertices are values, an edge (a, b) exists when a
+candidate value pair's semantic similarity clears ``tau``
+(graph.cc:95-121).  Two similarity strategies exist:
+
+- **doc** — cosine of per-value doc embeddings (graph.cc:16-33
+  calculateCosineSim over doc2vec vectors);
+- **coherent** — the coherent-group factor over per-token WORD embeddings
+  (graph.cc:36-53 calculateCoherentFactor): for the union X of the two
+  values' token vectors, ``F(X) = (1/|X|) * sum_{i<j} cos(x_i, x_j)`` — a
+  set-level coherence score rather than a pairwise one.
+
+With ``two_hop=True`` the graph is closed over two-hop neighbors once
+(graph.cc:123-156: "a ~ b, b ~ c, thus a ~ c if sim(a, c) >= tau"; the
+header comment at graph.h:68-70 states the closure deliberately stops at
+two hops).  This implementation runs ONE order-independent round over the
+base edge set (the reference's in-place sequential loop lets freshly added
+edges feed later vertices — a nondeterministic-order detail we trade for
+determinism; the candidate two-hop pairs are identical).
+
+Scale shape: the graph is VOCABULARY-sized (distinct matched values), which
+is orders of magnitude below the record count — the reference holds all of
+it in RAM on one node (group.cc:473-489).  Here the vocabulary state
+(vectors + adjacency) is broadcast once per worker via ``ray.put`` and every
+per-record / per-pair pass is a streaming ``map_batches``; only
+vocabulary-sized tables are ever collected on the driver.  Two-hop pair
+generation fans out of a ``groupby`` on the middle vertex with a logged
+truncation cap, so one hub value cannot emit an unbounded cross product.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import get_broadcast
+from .interchangeable import ValueEmbedder, embed_values, matched_values
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# similarity state (broadcast once per worker; vocabulary-sized)
+# ---------------------------------------------------------------------------
+
+
+class _DocSimState:
+    """Per-value unit doc-embedding rows; sim = dot product
+    (calculateCosineSim, graph.cc:16-33 — the reference normalizes inside
+    the cosine, unit rows make it a plain dot)."""
+
+    def __init__(self, vocab: pd.Index, M: np.ndarray, embed_fn):
+        self.vocab = vocab
+        self.M = M  # (V, d) unit rows
+        self._embed_fn = embed_fn
+
+    def sim_idx(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        return np.einsum("ij,ij->i", self.M[i], self.M[j])
+
+    def embed_oov(self, vals: np.ndarray) -> np.ndarray:
+        """Unit vectors for values OUTSIDE the vocabulary (reformat's
+        doc2Vec.at(...) lookup covers every match-table value)."""
+        return self._embed_fn(vals)
+
+    def sim_rows_vs_vec(self, rows: np.ndarray, vec: np.ndarray) -> np.ndarray:
+        return self.M[rows] @ vec
+
+    def sim_rows_vs_rows(self, rows_a: np.ndarray, rows_b: np.ndarray) -> np.ndarray:
+        return self.M[rows_a] @ self.M[rows_b].T
+
+
+class _CoherentSimState:
+    """Per-value DISTINCT token-id lists + unit token vectors; sim is the
+    coherent factor F(X) over the token-vector union
+    (calculateCoherentFactor, graph.cc:36-53).
+
+    With unit token rows, ``sum_{i<j} cos = (||sum_i n_i||^2 - |X|) / 2``,
+    so F(X) costs O(|X| * d) per pair instead of O(|X|^2 * d).  Zero-norm
+    (untrained / OOV) token vectors are dropped from X — the reference
+    would divide 0/0 there (calculateCosineSim has no guard)."""
+
+    def __init__(self, vocab: pd.Index, emb: ValueEmbedder):
+        self.vocab = vocab
+        N = np.asarray(emb.vectors, np.float64)
+        nrm = np.linalg.norm(N, axis=1)
+        keep = nrm > 1e-12
+        self.N = np.where(keep[:, None], N / np.maximum(nrm[:, None], 1e-30), 0.0)
+        self._emb = emb
+        # per-value sorted distinct token ids (kept tokens only), CSR layout
+        ids, offs = [], [0]
+        for toks in emb._token_lists(np.asarray(vocab.to_numpy(), dtype=object)):
+            ti = emb.vocab.get_indexer(pd.unique(pd.Series(toks, dtype=object)))
+            ti = np.sort(ti[(ti >= 0) & keep[np.maximum(ti, 0)]])
+            ids.append(ti)
+            offs.append(offs[-1] + len(ti))
+        self.tok_ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        self.tok_offs = np.asarray(offs, np.int64)
+        # per-value partial sums: S_v = sum of unit token rows, k_v = count
+        d = self.N.shape[1] if self.N.size else 0
+        self.S = np.zeros((len(vocab), d), np.float64)
+        self.k = np.diff(self.tok_offs)
+        for v in range(len(vocab)):
+            ti = self.tok_ids[self.tok_offs[v]:self.tok_offs[v + 1]]
+            if ti.size:
+                self.S[v] = self.N[ti].sum(axis=0)
+
+    def _toks_of(self, v: int) -> np.ndarray:
+        return self.tok_ids[self.tok_offs[v]:self.tok_offs[v + 1]]
+
+    def _fx(self, Sa, ka, Sb, kb, inter_ids) -> float:
+        """F over the union given both partial sums and the intersection."""
+        Si = self.N[inter_ids].sum(axis=0) if inter_ids.size else 0.0
+        S = Sa + Sb - Si
+        k = int(ka + kb - inter_ids.size)
+        if k <= 0:
+            return 0.0
+        return float((S @ S - k) / 2.0 / k)
+
+    def sim_idx(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        out = np.empty(len(i), np.float64)
+        for n, (a, b) in enumerate(zip(i, j)):
+            inter = np.intersect1d(self._toks_of(int(a)), self._toks_of(int(b)),
+                                   assume_unique=True)
+            out[n] = self._fx(self.S[int(a)], self.k[int(a)],
+                              self.S[int(b)], self.k[int(b)], inter)
+        return out
+
+    def embed_oov(self, vals: np.ndarray):
+        """Token-id lists for out-of-vocabulary values."""
+        emb = self._emb
+        res = []
+        for toks in emb._token_lists(vals):
+            ti = emb.vocab.get_indexer(pd.unique(pd.Series(toks, dtype=object)))
+            ti = np.sort(ti[ti >= 0])
+            ti = ti[np.linalg.norm(self.N[ti], axis=1) > 1e-12] if ti.size else ti
+            res.append(ti)
+        return res
+
+    def sim_rows_vs_vec(self, rows: np.ndarray, oov_toks: np.ndarray) -> np.ndarray:
+        Sb = self.N[oov_toks].sum(axis=0) if oov_toks.size else np.zeros(self.N.shape[1])
+        kb = oov_toks.size
+        return np.asarray([
+            self._fx(self.S[int(r)], self.k[int(r)], Sb, kb,
+                     np.intersect1d(self._toks_of(int(r)), oov_toks,
+                                    assume_unique=True))
+            for r in rows
+        ])
+
+    def sim_rows_vs_rows(self, rows_a: np.ndarray, rows_b: np.ndarray) -> np.ndarray:
+        out = np.empty((len(rows_a), len(rows_b)), np.float64)
+        for x, a in enumerate(rows_a):
+            ta = self._toks_of(int(a))
+            for y, b in enumerate(rows_b):
+                inter = np.intersect1d(ta, self._toks_of(int(b)), assume_unique=True)
+                out[x, y] = self._fx(self.S[int(a)], self.k[int(a)],
+                                     self.S[int(b)], self.k[int(b)], inter)
+        return out
+
+
+def _build_sim_state(vocab: pd.Index, strategy: str, embedder, *,
+                     dim: int, tok: str, q: int):
+    vals = np.asarray(vocab.to_numpy(), dtype=object)
+    if strategy == "doc":
+        if embedder is not None:
+            emb = embedder if embedder.vocab is not None else embedder.train(vals)
+            fn = emb.embed
+        else:
+            def fn(v):
+                return embed_values(v, dim=dim, tok=tok, q=q)
+        return _DocSimState(vocab, fn(vals), fn)
+    if strategy == "coherent":
+        emb = embedder or ValueEmbedder(dim=dim, tok=tok)
+        if emb.vocab is None:
+            emb.train(vals)
+        return _CoherentSimState(vocab, emb)
+    raise ValueError(f"unknown strategy {strategy!r} (use 'doc' or 'coherent')")
+
+
+# ---------------------------------------------------------------------------
+# candidate value pairs (the reference's readDocCandidatePairs input,
+# group.cc:446-459: value pairs harvested from the match result)
+# ---------------------------------------------------------------------------
+
+
+def candidate_value_pairs(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, num_partitions: int = 32, broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Distinct canonical (v1 < v2) non-empty value pairs of ``attr`` over
+    matched record pairs.  Values reach the pairs via the repo's standard
+    broadcast-or-hash_join switch; distinctness goes through the int-keyed
+    ``dedupe_pairs`` (hash-bucket shuffle + vectorized in-bucket dedup) —
+    a groupby on the raw string pair would shuffle long values and pay
+    per-group pandas overhead on millions of single-row groups."""
+    proj = docs.select_columns(["conv_id", attr])
+    n = n_records if n_records is not None else docs.count()
+    if n <= broadcast_limit:
+        import pyarrow.compute as pc
+
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(proj)
+        vmap = pd.Series(
+            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
+            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
+        )
+        ref = ray.put(vmap)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = get_broadcast(ref)
+            a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            return _canon_pairs(a, b)
+
+        pairs = matches.select_columns(["id1", "id2"]).map_batches(
+            attach, batch_format="pyarrow")
+    else:
+        from .joins import hash_join
+
+        def side(col, out):
+            return proj.map_batches(
+                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
+                                                  o: t.column(attr)}),
+                batch_format="pyarrow")
+
+        j = hash_join(matches.select_columns(["id1", "id2"]), side("cid1", "va"),
+                      on="id1", right_on="cid1", num_partitions=num_partitions)
+        j = hash_join(j, side("cid2", "vb"),
+                      on="id2", right_on="cid2", num_partitions=num_partitions)
+        pairs = j.map_batches(
+            lambda t: _canon_pairs(
+                np.asarray(t.column("va").to_numpy(zero_copy_only=False), dtype=object),
+                np.asarray(t.column("vb").to_numpy(zero_copy_only=False), dtype=object)),
+            batch_format="pyarrow")
+    return _distinct_pairs(pairs, num_partitions)
+
+
+def _distinct_pairs(pairs: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    """Distinct {v1, v2} via the blocking module's int-keyed pair dedup
+    (pair identity = canonical 64-bit value-hash pair)."""
+    from .blocking import dedupe_pairs
+
+    dd = dedupe_pairs(
+        pairs.map_batches(
+            lambda df: df.drop_duplicates(["v1", "v2"]).rename(
+                columns={"v1": "id1", "v2": "id2"}),
+            batch_format="pandas"),
+        num_partitions)
+    return dd.map_batches(
+        lambda t: pa.table({"v1": t.column("id1"), "v2": t.column("id2")}),
+        batch_format="pyarrow")
+
+
+def _canon_pairs(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    sa = pd.Series(a).fillna("").astype(str).to_numpy(object)
+    sb = pd.Series(b).fillna("").astype(str).to_numpy(object)
+    ok = (sa != "") & (sb != "") & (sa != sb)
+    sa, sb = sa[ok], sb[ok]
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    return pa.table({"v1": pa.array(lo, pa.string()), "v2": pa.array(hi, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# graph build
+# ---------------------------------------------------------------------------
+
+
+def semantic_graph(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, tau: float = 0.8, strategy: str = "doc", two_hop: bool = False,
+    embedder: ValueEmbedder | None = None, dim: int = 128, tok: str = "dlm",
+    q: int = 3, num_partitions: int = 32, n_records: int | None = None,
+    max_two_hop_group: int = 100_000,
+) -> "ray.data.Dataset":
+    """Build the semantic value graph: {val1, val2, sim} undirected edges
+    (val1 < val2) over the distinct ``attr`` values of matched records.
+
+    ``strategy='doc'`` scores candidate pairs by doc-embedding cosine
+    (buildSemanticGraph over DocEmbedding, graph.cc:87-158);
+    ``strategy='coherent'`` by the coherent-group factor over word
+    embeddings (graph.cc:164-246).  ``two_hop=True`` adds one
+    order-independent closure round: for every middle vertex v, each
+    neighbor pair (a, b) with sim(a, b) >= tau becomes an edge
+    (graph.cc:123-156).
+
+    The similarity state is vocabulary-sized and broadcast; candidate
+    scoring and two-hop verification stream through ``map_batches``."""
+    vals_ds = matched_values(matches, docs, attr, num_partitions=num_partitions,
+                             n_records=n_records).materialize()
+    vocab = pd.Index(vals_ds.to_pandas()["val"].astype(str))  # vocabulary-sized
+    state = _build_sim_state(vocab, strategy, embedder, dim=dim, tok=tok, q=q)
+    state_ref = ray.put(state)
+
+    cands = candidate_value_pairs(matches, docs, attr,
+                                  num_partitions=num_partitions,
+                                  n_records=n_records)
+
+    def score(t: pa.Table) -> pa.Table:
+        st = get_broadcast(state_ref)
+        v1 = np.asarray(t.column("v1").to_numpy(zero_copy_only=False), dtype=object)
+        v2 = np.asarray(t.column("v2").to_numpy(zero_copy_only=False), dtype=object)
+        i = st.vocab.get_indexer(v1)
+        j = st.vocab.get_indexer(v2)
+        ok = (i >= 0) & (j >= 0)
+        i, j, v1, v2 = i[ok], j[ok], v1[ok], v2[ok]
+        sim = st.sim_idx(i, j) if len(i) else np.empty(0)
+        keep = sim >= tau
+        return pa.table({
+            "val1": pa.array(v1[keep], pa.string()),
+            "val2": pa.array(v2[keep], pa.string()),
+            "sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    edges = cands.map_batches(score, batch_format="pyarrow")
+    if not two_hop:
+        return edges
+    edges = edges.materialize()  # vocabulary-scale; reused for closure
+
+    # --- one closure round, entirely in INDEX space: candidate two-hop
+    # pairs fan out of a groupby on the middle vertex as int32 pairs (long
+    # value strings never enter the closure shuffle), dedupe through the
+    # int-keyed pair dedup, and only verified NEW edges materialize strings.
+    from .blocking import dedupe_pairs
+
+    epd = edges.to_pandas()  # vocabulary-scale (the reference holds the
+    # whole graph in RAM, group.cc:473-489)
+    ei = vocab.get_indexer(epd["val1"].astype(str)).astype(np.int64)
+    ej = vocab.get_indexer(epd["val2"].astype(str)).astype(np.int64)
+    V = len(vocab)
+    ekeys = np.sort(np.minimum(ei, ej) * V + np.maximum(ei, ej))
+    ekeys_ref = ray.put(ekeys)
+    eidx = ray.data.from_arrow(pa.table({
+        "mid": pa.array(np.concatenate([ei, ej]), pa.int64()),
+        "nb": pa.array(np.concatenate([ej, ei]), pa.int64()),
+    }))
+
+    def neighbor_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(df["nb"].to_numpy(np.int64))
+        n = len(nb)
+        total = n * (n - 1) // 2
+        if total > max_two_hop_group:
+            # hub vertex: LOGGED truncation (mirrors the repo's hot-group
+            # caps; the reference has no cap and would go quadratic)
+            keep = int((2 * max_two_hop_group) ** 0.5) + 1
+            logger.warning(
+                "semantic_graph two_hop: truncating hub %d from %d to %d "
+                "neighbors (%d pairs dropped)",
+                int(df["mid"].iloc[0]), n, keep, total - keep * (keep - 1) // 2)
+            nb = nb[:keep]
+            n = len(nb)
+        a, b = np.triu_indices(n, k=1)
+        return pd.DataFrame({"k1": nb[a], "k2": nb[b]})
+
+    hop2 = dedupe_pairs(
+        eidx.groupby("mid").map_groups(neighbor_pairs, batch_format="pandas"),
+        num_partitions)
+
+    def verify_new(t: pa.Table) -> pa.Table:
+        st = get_broadcast(state_ref)
+        ek = get_broadcast(ekeys_ref)
+        i = np.asarray(t.column("k1"), dtype=np.int64)
+        j = np.asarray(t.column("k2"), dtype=np.int64)
+        keys = i * V + j  # k1 < k2 by construction (sorted neighbor lists)
+        pos = np.searchsorted(ek, keys)
+        is_edge = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == keys)
+        i, j = i[~is_edge], j[~is_edge]
+        sim = st.sim_idx(i, j) if len(i) else np.empty(0)
+        keep = sim >= tau
+        i, j, sim = i[keep], j[keep], sim[keep]
+        va = np.asarray(st.vocab[i].to_numpy(), dtype=object) if len(i) else np.empty(0, object)
+        vb = np.asarray(st.vocab[j].to_numpy(), dtype=object) if len(j) else np.empty(0, object)
+        return pa.table({
+            "val1": pa.array(np.minimum(va, vb), pa.string()),
+            "val2": pa.array(np.maximum(va, vb), pa.string()),
+            "sim": pa.array(sim, pa.float64()),
+        })
+
+    return edges.union(hop2.map_batches(verify_new, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# match-table reformatting (reformatMatchResTableDoc, group.cc:176-216)
+# ---------------------------------------------------------------------------
+
+
+class _Reformatter:
+    """Actor-pool stage: holds the vocabulary adjacency + similarity state
+    once per actor and rewrites one match batch per call — the reference's
+    per-row loop over the match table (group.cc:195-212) with the identical
+    4-way branch:
+
+    - both values have graph neighbors -> replace BOTH with the
+      most-similar neighbor pair (retrieveMostSimilarNeighborsDoc pair
+      variant, graph.cc:443-476);
+    - one side isolated -> replace only the connected side with its
+      neighbor most similar to the other side's vector (single variant,
+      graph.cc:406-440);
+    - both isolated -> unchanged.
+
+    Like the reference, a pair whose best similarity is <= 0 yields an
+    empty-string replacement (maxSim starts at 0.0)."""
+
+    def __init__(self, state_ref, adj_ref, attr):
+        self.state = ray.get(state_ref)
+        self.adj = ray.get(adj_ref)  # dict: vocab idx -> np.ndarray of vocab idx
+        self.attr = attr
+
+    def _best_pair(self, nl: np.ndarray, nr: np.ndarray):
+        sims = self.state.sim_rows_vs_rows(nl, nr)
+        x, y = np.unravel_index(int(np.argmax(sims)), sims.shape)
+        if sims[x, y] <= 0.0:
+            return "", ""
+        vocab = self.state.vocab
+        return str(vocab[int(nl[x])]), str(vocab[int(nr[y])])
+
+    def _best_single(self, nb: np.ndarray, qvec):
+        sims = self.state.sim_rows_vs_vec(nb, qvec)
+        x = int(np.argmax(sims))
+        if sims[x] <= 0.0:
+            return ""
+        return str(self.state.vocab[int(nb[x])])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lv = np.asarray(pc.cast(t.column(f"l_{self.attr}"), pa.string())
+                        .to_numpy(zero_copy_only=False), dtype=object)
+        rv = np.asarray(pc.cast(t.column(f"r_{self.attr}"), pa.string())
+                        .to_numpy(zero_copy_only=False), dtype=object)
+        lv = pd.Series(lv).fillna("").to_numpy(object)
+        rv = pd.Series(rv).fillna("").to_numpy(object)
+        st = self.state
+        li = st.vocab.get_indexer(lv)
+        ri = st.vocab.get_indexer(rv)
+        # distinct (lv, rv) pairs only — match tables repeat value pairs
+        key = pd.MultiIndex.from_arrays([lv, rv])
+        uniq, inv = np.unique(key.to_numpy(), return_inverse=True)
+        out_l = lv.copy()
+        out_r = rv.copy()
+        cache: dict = {}
+        for row in range(len(lv)):
+            k = (lv[row], rv[row])
+            if k in cache:
+                out_l[row], out_r[row] = cache[k]
+                continue
+            nl = self.adj.get(int(li[row])) if li[row] >= 0 else None
+            nr = self.adj.get(int(ri[row])) if ri[row] >= 0 else None
+            if nl is not None and nr is not None:
+                res = self._best_pair(nl, nr)
+            elif nl is not None:
+                q = st.embed_oov(np.asarray([rv[row]], dtype=object))
+                res = (self._best_single(nl, q[0]), rv[row])
+            elif nr is not None:
+                q = st.embed_oov(np.asarray([lv[row]], dtype=object))
+                res = (lv[row], self._best_single(nr, q[0]))
+            else:
+                res = (lv[row], rv[row])
+            cache[k] = res
+            out_l[row], out_r[row] = res
+        cols = {c: t.column(c) for c in t.column_names}
+        cols[f"l_{self.attr}"] = pa.array(out_l, pa.string())
+        cols[f"r_{self.attr}"] = pa.array(out_r, pa.string())
+        return pa.table(cols)
+
+
+def reformat_matches(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    graph: "ray.data.Dataset", *, strategy: str = "doc",
+    embedder: ValueEmbedder | None = None, dim: int = 128, tok: str = "dlm",
+    q: int = 3, num_partitions: int = 32, broadcast_limit: int = 2_000_000,
+    n_records: int | None = None, concurrency=(1, 8), batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Rewrite each match pair's ``attr`` values toward their most coherent
+    graph neighbors (reformatMatchResTableDoc / reformatMatchResTableWord,
+    group.cc:176-246) so the second match round sees normalized values.
+
+    Output = ``matches`` with ``l_{attr}`` / ``r_{attr}`` columns attached
+    (broadcast-or-hash_join) and rewritten.  The graph and similarity state
+    are vocabulary-sized, fetched once per actor; the match table streams."""
+    gpd = graph.to_pandas()  # vocabulary-scale edge list
+    vals_ds = matched_values(matches, docs, attr, num_partitions=num_partitions,
+                             n_records=n_records)
+    vocab = pd.Index(vals_ds.to_pandas()["val"].astype(str))
+    state = _build_sim_state(vocab, strategy, embedder, dim=dim, tok=tok, q=q)
+    i1 = vocab.get_indexer(gpd["val1"].astype(str))
+    i2 = vocab.get_indexer(gpd["val2"].astype(str))
+    ok = (i1 >= 0) & (i2 >= 0)
+    src = np.concatenate([i1[ok], i2[ok]])
+    dst = np.concatenate([i2[ok], i1[ok]])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    cuts = np.flatnonzero(np.diff(src)) + 1
+    adj = {int(s): d for s, d in zip(src[np.r_[0, cuts]] if len(src) else [],
+                                     np.split(dst, cuts))}
+    state_ref = ray.put(state)
+    adj_ref = ray.put(adj)
+
+    # attach raw values (same switch as candidate_value_pairs)
+    proj = docs.select_columns(["conv_id", attr])
+    n = n_records if n_records is not None else docs.count()
+    if n <= broadcast_limit:
+        import pyarrow.compute as pc
+
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(proj)
+        vmap = pd.Series(
+            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
+            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
+        )
+        vref = ray.put(vmap)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = get_broadcast(vref)
+            a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            return (t.append_column(f"l_{attr}", pa.array(pd.Series(a).fillna("").astype(str), pa.string()))
+                     .append_column(f"r_{attr}", pa.array(pd.Series(b).fillna("").astype(str), pa.string())))
+
+        joined = matches.map_batches(attach, batch_format="pyarrow")
+    else:
+        from .joins import hash_join
+
+        def side(col, out):
+            return proj.map_batches(
+                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
+                                                  o: t.column(attr)}),
+                batch_format="pyarrow")
+
+        joined = hash_join(matches, side("cid1", f"l_{attr}"),
+                           on="id1", right_on="cid1", num_partitions=num_partitions)
+        joined = hash_join(joined, side("cid2", f"r_{attr}"),
+                           on="id2", right_on="cid2", num_partitions=num_partitions)
+    return joined.map_batches(
+        _Reformatter,
+        fn_constructor_args=(state_ref, adj_ref, attr),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
