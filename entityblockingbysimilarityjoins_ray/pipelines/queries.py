@@ -962,6 +962,38 @@ SELECT doc_id,
 FROM w"""
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (DuckDB ASOF JOIN twin).  One hash-bucket shuffle on the key,
+    per-bucket vectorized merge_asof."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas",
+    )
+    right = ev.map_batches(
+        lambda df: df[df["event_type"] == "click"][["user_id", "ts", "value"]].rename(
+            columns={"ts": "click_ts", "value": "click_value"}),
+        batch_format="pandas",
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="click_ts", num_partitions=32)
+    return out.map_batches(
+        lambda df: df.sort_values("event_id").reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_ASOF = """WITH l AS (SELECT event_id, user_id, ts, value
+                                FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, l.value, r.click_ts, r.click_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.click_ts"""
+
+
 def q_events_window(sf_dir: str):
     """Per-user hourly windowed aggregate with in-batch pre-aggregation
     (combiner) before the groupby shuffle."""
@@ -1086,6 +1118,7 @@ QUERIES = {
     "fingerprint_winnow": q_fingerprint_winnow,
     "quality_docs": q_quality_docs,
     "lang_id": q_lang_id,
+    "events_asof": q_events_asof,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "multimodal_decode": q_multimodal_decode,
@@ -1124,6 +1157,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_docs": SQL_QUALITY_DOCS,
     "lang_id": SQL_LANG_ID,
+    "events_asof": SQL_EVENTS_ASOF,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,

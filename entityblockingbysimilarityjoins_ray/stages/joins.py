@@ -106,3 +106,94 @@ def hash_join(
         .groupby(_PB)
         .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_on: str | None = None,
+    num_partitions: int = 32,
+    how: str = "inner",
+    direction: str = "backward",
+) -> "ray.data.Dataset":
+    """Distributed as-of join: for each left row, the single right row with
+    an equal key and the greatest ``right_ts <= left_ts`` (direction
+    'backward'; 'forward' = smallest ``right_ts >= left_ts``).  Semantics of
+    DuckDB/kdb ``ASOF JOIN`` — an operator Ray Data has no native form of.
+
+    Same physical shape as :func:`hash_join` (the partitioning assumption
+    this operator relies on): both sides are normalized to one shared Arrow
+    schema, hash-bucketed ON THE KEY so every key's rows co-locate, unioned
+    in one shuffle, and merged per bucket with a vectorized
+    ``pandas.merge_asof`` (sorted by timestamp, ``by=`` the key).  Skewed
+    keys behave exactly like hash_join's (a hot key concentrates one
+    bucket; the merge stays O(n log n) in the bucket).
+
+    Requirements: disjoint non-key columns, ``left_ts != right_ts`` names,
+    non-null keys/timestamps (null-key or null-ts rows are dropped — an
+    as-of match on them is meaningless).  ``how='inner'`` drops unmatched
+    left rows; ``'left'`` keeps them with nulls on the right columns."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct column names")
+    right_on = right_on if right_on is not None else on
+    lsch = _pa_schema(left)
+    rsch = _pa_schema(right)
+    lnames = list(lsch.names)
+    rnames = list(rsch.names)
+    overlap = (set(lnames) & set(rnames)) - ({on} if on == right_on else set())
+    if overlap:
+        raise ValueError(f"asof_join requires disjoint columns, overlap: {overlap}")
+    all_fields = [lsch.field(n) for n in lnames]
+    all_fields += [rsch.field(n) for n in rnames if n not in lnames]
+
+    def norm(side: int, key: str, ts: str):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.compute.and_(
+                pa.compute.is_valid(t.column(key)), pa.compute.is_valid(t.column(ts))
+            )
+            t = t.filter(mask)
+            cols = {}
+            for fld in all_fields:
+                if fld.name in t.column_names:
+                    c = t.column(fld.name)
+                    cols[fld.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                else:
+                    cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+            keyvals = t.column(key).to_numpy(zero_copy_only=False)
+            pb = bucket_of(_hash_any(keyvals), num_partitions) if t.num_rows else np.empty(0, np.int64)
+            cols[_PB] = pa.array(pb.astype(np.int32), pa.int32())
+            cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    l = left.map_batches(norm(0, on, left_ts), batch_format="pyarrow")
+    r = right.map_batches(norm(1, right_on, right_ts), batch_format="pyarrow")
+
+    # mirror hash_join's drop_right_key: a differently-named right key column
+    # is redundant after the equi-match
+    extra_r = [n for n in rnames if n not in lnames and n != right_on]
+    out_names = lnames + extra_r
+    field_of = {f.name: f for f in all_fields}
+    out_schema = pa.schema([field_of[n] for n in out_names])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        lp = df[df[_SIDE] == 0][lnames].sort_values(left_ts, kind="mergesort")
+        rp = df[df[_SIDE] == 1][rnames].sort_values(right_ts, kind="mergesort")
+        by_kw = dict(by=on) if on == right_on else dict(left_by=on, right_by=right_on)
+        m = pd.merge_asof(lp, rp, left_on=left_ts, right_on=right_ts,
+                          direction=direction, **by_kw)
+        if how == "inner":
+            m = m[m[right_ts].notna()]
+        cols = [pa.Array.from_pandas(m[n], type=field_of[n].type) for n in out_names]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return (
+        l.union(r)
+        .groupby(_PB)
+        .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
+    )

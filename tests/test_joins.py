@@ -68,3 +68,85 @@ def test_verify_join_mode_equals_broadcast(tiny_docs):
     pa_ = a.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     pb_ = b.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa_[["id1", "id2", "sim"]], pb_[["id1", "id2", "sim"]])
+
+
+# ---------------------------------------------------------------------------
+# as-of join (DuckDB ASOF JOIN semantics)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture():
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype=np.int64),
+        "user": rng.integers(0, 25, n_l),
+        "lts": rng.integers(0, 10_000, n_l).astype("datetime64[s]").astype("datetime64[us]"),
+        "lval": rng.normal(size=n_l),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(n_r, dtype=np.int64),
+        "user": rng.integers(0, 25, n_r),
+        "rts": rng.integers(0, 10_000, n_r).astype("datetime64[s]").astype("datetime64[us]"),
+        "rval": rng.normal(size=n_r),
+    })
+    # unique (user, rts) so the as-of winner is unambiguous
+    right = right.drop_duplicates(["user", "rts"]).reset_index(drop=True)
+    return left, right
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from entityblockingbysimilarityjoins_ray.stages.joins import asof_join
+
+    left, right = _asof_fixture()
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="user", left_ts="lts", right_ts="rts", num_partitions=8,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql("""
+        SELECT l.lid, l.user, l.lts, l.lval, r.rid, r.rts, r.rval
+        FROM l ASOF JOIN r ON l.user = r.user AND l.lts >= r.rts
+        ORDER BY l.lid
+    """).df().reset_index(drop=True)
+    assert len(got) == len(exp)
+    got = got[exp.columns.tolist()]
+    for c in ("lid", "user", "rid"):
+        assert np.array_equal(got[c].to_numpy(np.int64), exp[c].to_numpy(np.int64)), c
+    for c in ("lts", "rts"):
+        assert np.array_equal(got[c].to_numpy("datetime64[us]"),
+                              exp[c].to_numpy("datetime64[us]")), c
+    for c in ("lval", "rval"):
+        assert np.allclose(got[c], exp[c]), c
+
+
+def test_asof_join_left_and_forward(ray_session):
+    from entityblockingbysimilarityjoins_ray.stages.joins import asof_join
+
+    left, right = _asof_fixture()
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="user", left_ts="lts", right_ts="rts", how="left", num_partitions=8,
+    ).to_pandas()
+    assert len(out) == len(left)  # left join keeps unmatched rows
+    # brute-force check a few rows
+    for _, row in out.head(50).iterrows():
+        cand = right[(right["user"] == row["user"]) & (right["rts"] <= row["lts"])]
+        if len(cand):
+            assert row["rts"] == cand["rts"].max()
+        else:
+            assert pd.isna(row["rts"])
+
+    fwd = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="user", left_ts="lts", right_ts="rts", direction="forward",
+        num_partitions=8,
+    ).to_pandas()
+    for _, row in fwd.head(50).iterrows():
+        cand = right[(right["user"] == row["user"]) & (right["rts"] >= row["lts"])]
+        assert len(cand) and row["rts"] == cand["rts"].min()

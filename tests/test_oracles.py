@@ -60,7 +60,7 @@ ORACLE_NAMES = [
     "block_lev_rs", "block_jac_weighted",
     "topk_allscore", "topk_allscore_weighted", "quality_docs", "token_count",
     "block_fused_union", "block_dice", "block_jac_weighted_rs", "token_df_qgram",
-    "events_sessionize",
+    "events_sessionize", "events_asof",
 ]
 
 
@@ -78,7 +78,7 @@ def test_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = ["er_f1_report", "minhash_lsh_docs", "simhash_docs", "ann_topk_ivf",
              "multimodal_decode", "sample_down", "group_values",
-             "fingerprint_winnow"]
+             "fingerprint_winnow", "embed_dup_pairs_lsh", "ic_graph"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
