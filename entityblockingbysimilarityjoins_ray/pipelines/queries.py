@@ -962,6 +962,55 @@ SELECT doc_id,
 FROM w"""
 
 
+def q_events_in_sessions(sf_dir: str):
+    """Keyed range join: every event assigned to the session interval that
+    contains it (sessionize -> interval_join on user_id +
+    start_us <= ts <= end_us).  DuckDB BETWEEN-join twin over the same
+    window-function sessionization."""
+    from ..stages.joins import interval_join
+    from ..stages.sessions import sessionize_events
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    sess = sessionize_events(
+        ev.select_columns(["user_id", "ts", "value"]), gap_s=1800.0
+    ).map_batches(
+        lambda df: df[["user_id", "session_idx", "start_us", "end_us"]],
+        batch_format="pandas",
+    )
+    pts = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "tus": t.column("ts").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = interval_join(pts, sess, on="user_id", point_col="tus",
+                        lo_col="start_us", hi_col="end_us", num_partitions=32)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "session_idx"]]
+        .sort_values("event_id").reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_IN_SESSIONS = """WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM m),
+sess AS (SELECT user_id, session_idx::BIGINT AS session_idx,
+                min(tus) AS start_us, max(tus) AS end_us
+         FROM s GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, sess.session_idx
+FROM e JOIN sess ON e.user_id = sess.user_id
+                AND e.tus BETWEEN sess.start_us AND sess.end_us"""
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase matched to the user's latest click at or
     before it (DuckDB ASOF JOIN twin).  One hash-bucket shuffle on the key,
@@ -1119,6 +1168,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "lang_id": q_lang_id,
     "events_asof": q_events_asof,
+    "events_in_sessions": q_events_in_sessions,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "multimodal_decode": q_multimodal_decode,
@@ -1158,6 +1208,7 @@ ORACLES = {
     "quality_docs": SQL_QUALITY_DOCS,
     "lang_id": SQL_LANG_ID,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_in_sessions": SQL_EVENTS_IN_SESSIONS,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,

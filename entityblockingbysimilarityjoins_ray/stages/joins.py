@@ -197,3 +197,82 @@ def asof_join(
         .groupby(_PB)
         .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
     )
+
+
+def interval_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    on: str,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    right_on: str | None = None,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed keyed range join: inner-join each point row to every
+    interval row with an equal key and ``lo_col <= point_col <= hi_col``
+    (both ends inclusive, SQL ``BETWEEN`` semantics).  Overlapping intervals
+    are allowed — a point matches each one.
+
+    Physical shape = :func:`hash_join`: one shared Arrow schema, hash-bucket
+    on the KEY (the partitioning assumption: all of a key's points and
+    intervals co-locate), one union shuffle, then a per-bucket vectorized
+    pandas equi-merge + range mask.  The per-bucket cost is
+    sum_over_keys(points_k * intervals_k) BEFORE the range mask — fine when
+    per-key interval counts are bounded (sessions, price bands); a key with
+    millions of both sides needs a value-binned variant instead.  Null keys,
+    points, or bounds never match and are dropped."""
+    right_on = right_on if right_on is not None else on
+    lsch = _pa_schema(points)
+    rsch = _pa_schema(intervals)
+    lnames = list(lsch.names)
+    rnames = list(rsch.names)
+    overlap = (set(lnames) & set(rnames)) - ({on} if on == right_on else set())
+    if overlap:
+        raise ValueError(f"interval_join requires disjoint columns, overlap: {overlap}")
+    all_fields = [lsch.field(n) for n in lnames]
+    all_fields += [rsch.field(n) for n in rnames if n not in lnames]
+
+    def norm(side: int, key: str, req: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.compute.is_valid(t.column(key))
+            for c in req:
+                mask = pa.compute.and_(mask, pa.compute.is_valid(t.column(c)))
+            t = t.filter(mask)
+            cols = {}
+            for fld in all_fields:
+                if fld.name in t.column_names:
+                    c = t.column(fld.name)
+                    cols[fld.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                else:
+                    cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+            keyvals = t.column(key).to_numpy(zero_copy_only=False)
+            pb = bucket_of(_hash_any(keyvals), num_partitions) if t.num_rows else np.empty(0, np.int64)
+            cols[_PB] = pa.array(pb.astype(np.int32), pa.int32())
+            cols[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    l = points.map_batches(norm(0, on, [point_col]), batch_format="pyarrow")
+    r = intervals.map_batches(norm(1, right_on, [lo_col, hi_col]), batch_format="pyarrow")
+
+    extra_r = [n for n in rnames if n not in lnames and n != right_on]
+    out_names = lnames + extra_r
+    field_of = {f.name: f for f in all_fields}
+    out_schema = pa.schema([field_of[n] for n in out_names])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        lp = df[df[_SIDE] == 0][lnames]
+        rp = df[df[_SIDE] == 1][rnames]
+        m = lp.merge(rp, left_on=on, right_on=right_on, how="inner")
+        m = m[(m[lo_col] <= m[point_col]) & (m[point_col] <= m[hi_col])]
+        cols = [pa.Array.from_pandas(m[n], type=field_of[n].type) for n in out_names]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return (
+        l.union(r)
+        .groupby(_PB)
+        .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
+    )

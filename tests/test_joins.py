@@ -150,3 +150,42 @@ def test_asof_join_left_and_forward(ray_session):
     for _, row in fwd.head(50).iterrows():
         cand = right[(right["user"] == row["user"]) & (right["rts"] >= row["lts"])]
         assert len(cand) and row["rts"] == cand["rts"].min()
+
+
+def test_interval_join_matches_duckdb(ray_session):
+    """Keyed range join vs a DuckDB BETWEEN join — overlapping intervals
+    included (a point matches every containing interval)."""
+    import duckdb
+
+    from entityblockingbysimilarityjoins_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(13)
+    pts = pd.DataFrame({
+        "pid": np.arange(500, dtype=np.int64),
+        "k": rng.integers(0, 20, 500),
+        "v": rng.integers(0, 1000, 500),
+    })
+    lo = rng.integers(0, 950, 200)
+    iv = pd.DataFrame({
+        "iid": np.arange(200, dtype=np.int64),
+        "k": rng.integers(0, 20, 200),
+        "lo": lo,
+        "hi": lo + rng.integers(0, 400, 200),  # overlapping by construction
+    })
+    got = interval_join(
+        ray.data.from_pandas(pts), ray.data.from_pandas(iv),
+        on="k", point_col="v", lo_col="lo", hi_col="hi", num_partitions=8,
+    ).to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", iv)
+    exp = con.sql("""
+        SELECT p.pid, p.k, p.v, i.iid, i.lo, i.hi
+        FROM p JOIN i ON p.k = i.k AND p.v BETWEEN i.lo AND i.hi
+        ORDER BY p.pid, i.iid
+    """).df().reset_index(drop=True)
+    assert len(got) == len(exp) and len(exp) > 0
+    got = got[exp.columns.tolist()]
+    for c in exp.columns:
+        assert np.array_equal(got[c].to_numpy(np.int64), exp[c].to_numpy(np.int64)), c
