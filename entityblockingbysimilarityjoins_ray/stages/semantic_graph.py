@@ -549,3 +549,125 @@ def reformat_matches(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# match-table slimming (slimMatchResDoc / slimTab, group.cc:91-137, 462-…)
+# ---------------------------------------------------------------------------
+
+
+def slim_matches(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, strategy: str = "doc", embedder: ValueEmbedder | None = None,
+    dim: int = 128, tok: str = "dlm", q: int = 3,
+    num_partitions: int = 32, broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Slim a match table to at most one partner per record, keeping for
+    every left id the row whose two ``attr`` values have the highest
+    embedding cosine, then the same per right id — the reference's
+    ``slimTab`` applied work=left then work=right (group.cc:91-137; driver
+    slimMatchResDoc group.cc:…).  A record with a single match keeps it
+    unconditionally; ties keep the first row in (id, partner-id) order
+    (the reference keeps first-seen under strict >).
+
+    Distributed shape: one map_batches attaches values (broadcast-or-
+    hash_join) and scores the pair cosine vectorized; each slim pass is a
+    hash-bucket groupby on the id with a per-bucket vectorized argmax —
+    no per-group pandas loops."""
+    from ..functions.hashing import bucket_of, hash_strings
+
+    if strategy != "doc":
+        raise ValueError("slim_matches: only the doc (value-embedding) "
+                         "strategy exists in the reference (slimMatchResDoc)")
+
+    if embedder is not None and embedder.vocab is None:
+        vals_ds = matched_values(matches, docs, attr,
+                                 num_partitions=num_partitions,
+                                 n_records=n_records)
+        embedder.train(np.asarray(vals_ds.to_pandas()["val"], dtype=object))
+    emb_ref = ray.put(embedder)
+
+    # attach values + score pair cosine in one streaming pass
+    proj = docs.select_columns(["conv_id", attr])
+    n = n_records if n_records is not None else docs.count()
+    if n <= broadcast_limit:
+        import pyarrow.compute as pc
+
+        from .verify import collect_arrow
+
+        tbl = collect_arrow(proj)
+        vmap = pd.Series(
+            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
+            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
+        )
+        vref = ray.put(vmap)
+
+        def vals_of(t: pa.Table):
+            m = get_broadcast(vref)
+            a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
+            return t, a, b
+
+        scored_src = matches
+    else:
+        from .joins import hash_join
+
+        def side(col, out):
+            return proj.map_batches(
+                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
+                                                  o: t.column(attr)}),
+                batch_format="pyarrow")
+
+        j = hash_join(matches, side("cid1", "__v1"),
+                      on="id1", right_on="cid1", num_partitions=num_partitions)
+        j = hash_join(j, side("cid2", "__v2"),
+                      on="id2", right_on="cid2", num_partitions=num_partitions)
+
+        def vals_of(t: pa.Table):
+            a = np.asarray(t.column("__v1").to_numpy(zero_copy_only=False), dtype=object)
+            b = np.asarray(t.column("__v2").to_numpy(zero_copy_only=False), dtype=object)
+            return t.drop_columns(["__v1", "__v2"]), a, b
+
+        scored_src = j
+
+    def score(t: pa.Table) -> pa.Table:
+        t, a, b = vals_of(t)
+        a = pd.Series(a).fillna("").astype(str).to_numpy(object)
+        b = pd.Series(b).fillna("").astype(str).to_numpy(object)
+        emb = get_broadcast(emb_ref) if emb_ref is not None else None
+        e = (emb.embed if emb is not None
+             else (lambda v: embed_values(v, dim=dim, tok=tok, q=q)))
+        # embed each DISTINCT value once per batch
+        uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        M = e(uniq.astype(object))
+        va = M[inv[: len(a)]]
+        vb = M[inv[len(a):]]
+        sim = np.einsum("ij,ij->i", va, vb)
+        return t.append_column("__psim", pa.array(sim, pa.float64()))
+
+    scored = scored_src.map_batches(score, batch_format="pyarrow")
+
+    def slim_pass(ds, id_col, other_col):
+        def add_pb(t: pa.Table) -> pa.Table:
+            h = hash_strings(np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=object))
+            return t.append_column("__pb", pa.array(bucket_of(h, num_partitions), pa.int32()))
+
+        def keep_best(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__pb"])
+            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=object)
+            oth = np.asarray(t.column(other_col).to_numpy(zero_copy_only=False), dtype=object)
+            sim = np.asarray(t.column("__psim"), dtype=np.float64)
+            order = np.lexsort((oth, -sim, ids))
+            ids_s = ids[order]
+            first = np.ones(ids_s.size, bool)
+            first[1:] = ids_s[1:] != ids_s[:-1]
+            return t.take(pa.array(order[first]))
+
+        return (ds.map_batches(add_pb, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(keep_best, batch_format="pyarrow"))
+
+    slimmed = slim_pass(slim_pass(scored, "id1", "id2"), "id2", "id1")
+    return slimmed.map_batches(lambda t: t.drop_columns(["__psim"]),
+                               batch_format="pyarrow")

@@ -212,3 +212,39 @@ def test_reformat_matches_join_path_identical(ray_session):
     jn = (reformat_matches(matches, docs, "head", g, broadcast_limit=0)
           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(bc, jn[bc.columns])
+
+
+def test_slim_matches_keeps_best_partner(ray_session):
+    """slimTab semantics (group.cc:91-137): per left id keep the row whose
+    value pair has max embedding cosine, then per right id; singles kept
+    unconditionally."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import embed_values
+    from entityblockingbysimilarityjoins_ray.stages.semantic_graph import slim_matches
+
+    docs_pd = pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d", "e"],
+        "head": ["usa canada mexico", "usa canada brazil", "canada brazil",
+                 "peru bolivia ecuador", "tokyo osaka"],
+    })
+    matches_pd = pd.DataFrame({
+        "id1": ["a", "a", "c", "d"],
+        "id2": ["b", "c", "b", "e"],
+    })
+    out = slim_matches(rd.from_pandas(matches_pd), rd.from_pandas(docs_pd), "head",
+                       num_partitions=4).to_pandas()
+    got = set(zip(out["id1"], out["id2"]))
+    # pass 1 (by id1): a keeps argmax(cos(A,B)=2/3, cos(A,C)~0.408) -> (a,b);
+    # c->(c,b) single; d->(d,e) single (kept despite cos~0).
+    # pass 2 (by id2): b matched by both a and c; cos(C,B)~0.816 > 2/3 ->
+    # (c,b) wins; e single.
+    A, B, C = docs_pd["head"][:3]
+    M = embed_values(np.asarray([A, B, C], dtype=object))
+    assert float(M[2] @ M[1]) > float(M[0] @ M[1])  # fixture sanity
+    assert got == {("c", "b"), ("d", "e")}
+
+    # join path identical
+    out2 = slim_matches(rd.from_pandas(matches_pd), rd.from_pandas(docs_pd), "head",
+                        num_partitions=4, broadcast_limit=0).to_pandas()
+    assert set(zip(out2["id1"], out2["id2"])) == got
