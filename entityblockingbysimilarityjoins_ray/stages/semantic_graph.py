@@ -491,7 +491,13 @@ def reformat_matches(
     gpd = graph.to_pandas()  # vocabulary-scale edge list
     vals_ds = matched_values(matches, docs, attr, num_partitions=num_partitions,
                              n_records=n_records)
-    vocab = pd.Index(vals_ds.to_pandas()["val"].astype(str))
+    # the similarity state must cover the GRAPH's vertices too — a neighbor
+    # value need not appear in the table being reformatted (the reference
+    # loads the full ICV-dir doc list, group.cc:473-489)
+    vocab = pd.Index(sorted(
+        set(vals_ds.to_pandas()["val"].astype(str))
+        | set(gpd["val1"].astype(str)) | set(gpd["val2"].astype(str))
+    ))
     state = _build_sim_state(vocab, strategy, embedder, dim=dim, tok=tok, q=q)
     i1 = vocab.get_indexer(gpd["val1"].astype(str))
     i2 = vocab.get_indexer(gpd["val2"].astype(str))
@@ -671,3 +677,75 @@ def slim_matches(
     slimmed = slim_pass(slim_pass(scored, "id1", "id2"), "id2", "id1")
     return slimmed.map_batches(lambda t: t.drop_columns(["__psim"]),
                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# graph-based second match round
+# (reformatTableByInterchangeableValuesByGraph + re-match, group.cc:249-…)
+# ---------------------------------------------------------------------------
+
+
+def features_from_value_pairs(
+    pairs: "ray.data.Dataset", attr: str, specs,
+    *, batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Per-pair features computed straight from l_{attr}/r_{attr} value
+    columns carried ON the pair rows (no doc join — the values may be
+    pair-specific after graph reformatting).  All specs must target
+    ``attr``."""
+    from .features import _extract_joined, _needed, _tok_col
+
+    specs = list(specs)
+    if any(s.attr != attr for s in specs):
+        raise ValueError("features_from_value_pairs: all specs must target "
+                         f"{attr!r} (pair rows carry only that attr's values)")
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import tokens_list_array
+
+        lv = pc.fill_null(pc.cast(t.column(f"l_{attr}"), pa.string()), "")
+        rv = pc.fill_null(pc.cast(t.column(f"r_{attr}"), pa.string()), "")
+        cols = {"id1": t.column("id1"), "id2": t.column("id2")}
+        needed_tok, needed_raw = _needed(specs)
+        for a, tok, q in sorted(needed_tok):
+            cols[f"l_{_tok_col(a, tok, q)}"] = tokens_list_array(lv, tok, q)
+            cols[f"r_{_tok_col(a, tok, q)}"] = tokens_list_array(rv, tok, q)
+        for a in sorted(needed_raw):
+            cols[f"l_r_{a}"] = lv
+            cols[f"r_r_{a}"] = rv
+        return _extract_joined(pa.table(cols), specs=specs)
+
+    return pairs.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def second_round_match_graph(
+    candidates: "ray.data.Dataset", docs: "ray.data.Dataset",
+    matches: "ray.data.Dataset", attr: str,
+    *, tau: float = 0.8, strategy: str = "doc", two_hop: bool = False,
+    score_cols: list[str], threshold: float, feature_specs,
+    embedder: ValueEmbedder | None = None, dim: int = 128, tok: str = "dlm",
+    q: int = 3, num_partitions: int = 32, n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Graph-based IC re-match — the reference's
+    reformatTableByInterchangeableValuesByGraph flow (group.cc:249-…):
+    build the semantic value graph from round-1 matches, REWRITE each
+    candidate pair's ``attr`` values toward their most coherent graph
+    neighbors (per-pair, unlike normalize_attr's global substitution), then
+    re-score the candidate set on features computed from the rewritten
+    values and re-threshold.  Recovers pairs whose only disagreement is an
+    interchangeable value, like second_round_match, but with the
+    neighborhood semantics of the C++ group module."""
+    from .matcher import threshold_match
+
+    g = semantic_graph(matches, docs, attr, tau=tau, strategy=strategy,
+                       two_hop=two_hop, embedder=embedder, dim=dim, tok=tok,
+                       q=q, num_partitions=num_partitions,
+                       n_records=n_records).materialize()
+    ref = reformat_matches(candidates.select_columns(["id1", "id2"]), docs,
+                           attr, g, strategy=strategy, embedder=embedder,
+                           dim=dim, tok=tok, q=q,
+                           num_partitions=num_partitions, n_records=n_records)
+    feats = features_from_value_pairs(ref, attr, feature_specs)
+    return threshold_match(feats, score_cols=score_cols, threshold=threshold)

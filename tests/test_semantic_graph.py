@@ -248,3 +248,42 @@ def test_slim_matches_keeps_best_partner(ray_session):
     out2 = slim_matches(rd.from_pandas(matches_pd), rd.from_pandas(docs_pd), "head",
                         num_partitions=4, broadcast_limit=0).to_pandas()
     assert set(zip(out2["id1"], out2["id2"])) == got
+
+
+def test_second_round_match_graph_recovers_ic_pair(ray_session):
+    """End-to-end graph flow: values 'united states' and 'usa' are
+    graph-adjacent (taught by a round-1 match elsewhere); the candidate pair
+    (a, b) whose only disagreement is that value gets REWRITTEN to a common
+    neighbor and re-scored above threshold."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.features import FeatureSpec
+    from entityblockingbysimilarityjoins_ray.stages.semantic_graph import (
+        second_round_match_graph,
+    )
+
+    # round-1 matches teach gov~division and dept~division, making
+    # 'united states division' the COMMON graph neighbor of the candidate
+    # pair's two values — the best neighbor pair is (division, division),
+    # cos 1, so both sides rewrite to the same value
+    docs = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b", "x", "x2", "y", "y2", "z"],
+        "head": ["united states gov", "united states dept",
+                 "united states gov", "united states division",
+                 "united states dept", "united states division",
+                 "france republic"],
+    }))
+    matches = rd.from_pandas(pd.DataFrame({"id1": ["x", "y"], "id2": ["x2", "y2"]}))
+    candidates = rd.from_pandas(pd.DataFrame({
+        "id1": ["a", "a"], "id2": ["b", "z"]}))
+    specs = (FeatureSpec("head", "jac", "dlm"),)
+    out = second_round_match_graph(
+        candidates, docs, matches, "head", tau=0.5,
+        score_cols=["head_jac_dlm"], threshold=0.95, feature_specs=specs,
+        num_partitions=4,
+    ).to_pandas()
+    got = set(zip(out["id1"], out["id2"])) if len(out) else set()
+    # (a, b): both sides rewrite to the common neighbor -> jac 1.0 passes.
+    # (a, z): z isolated and dissimilar to a's neighborhood -> dropped.
+    assert ("a", "b") in got
+    assert ("a", "z") not in got
