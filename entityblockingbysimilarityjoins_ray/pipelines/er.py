@@ -131,7 +131,9 @@ def union_rules(
     unioned = tagged[0]
     for ds in tagged[1:]:
         unioned = unioned.union(ds)
-    return B.dedupe_pairs(unioned, cfg.pair_partitions, count_col="passed_rules")
+    # survivor-level dedup: cap the bucket fan-out (B.survivor_partitions)
+    return B.dedupe_pairs(unioned, B.survivor_partitions(cfg),
+                          count_col="passed_rules")
 
 
 def block(
