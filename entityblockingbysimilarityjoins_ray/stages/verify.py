@@ -104,17 +104,20 @@ def collect_token_index_with_df(toks_ds: "ray.data.Dataset", min_df: int = 2):
 
 
 def gather_lists(vals: np.ndarray, offs: np.ndarray, rows: np.ndarray):
-    """Select rows from a flattened list column -> new (vals, offs)."""
+    """Select rows from a flattened list column -> new (vals, offs).
+
+    Positions are built in ONE repeat + in-place add (arange + per-row
+    delta), two fewer full-length passes than the repeat/subtract/repeat
+    form; the remaining cost is the random gather into the corpus array
+    itself (cold plasma pages dominate the first touch; steady-state
+    workers keep them resident)."""
     lens = np.diff(offs)[rows]
     new_offs = np.zeros(rows.size + 1, np.int64)
     np.cumsum(lens, out=new_offs[1:])
     total = int(new_offs[-1])
-    out = np.empty(total, vals.dtype)
-    # vectorized gather: positions = start[row] + local arange
-    starts = offs[rows]
-    local = np.arange(total) - np.repeat(new_offs[:-1], lens)
-    out[:] = vals[np.repeat(starts, lens) + local]
-    return out, new_offs
+    pos = np.arange(total, dtype=np.int64)
+    pos += np.repeat(offs[rows] - new_offs[:-1], lens)
+    return vals[pos], new_offs
 
 
 def _sim_batch(va, oa, vb, ob, sim: str, m: int | None = None) -> np.ndarray:
