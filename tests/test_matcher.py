@@ -325,3 +325,103 @@ def test_ditto_scorer_stub_model(ray_session):
     if not has_torch:
         with pytest.raises(NotImplementedError):
             load_ditto_model("/tmp/nonexistent.ckpt")
+
+
+def test_rules_optimal_feasibility_property():
+    """Property over random forests (varying seed/size/noise): whenever
+    strategy='optimal' returns rules, more than half of the trees have
+    EVERY positive path covered by the selection — the reference
+    dfs_optimal's feasibility invariant (extract_formula.py:395-420)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entityblockingbysimilarityjoins_ray.stages.features import FeatureSpec
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        _positive_paths,
+        rules_from_forest,
+    )
+
+    specs = (FeatureSpec("doc", "jac", "dlm"), FeatureSpec("doc", "cos", "dlm"),
+             FeatureSpec("noi", "lev", "none"))
+
+    @settings(max_examples=15, deadline=None)
+    @given(seed=st.integers(0, 10_000), n=st.integers(60, 300),
+           sep=st.floats(0.05, 0.3))
+    def check(seed, n, sep):
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 2, n)
+        f1 = np.where(y == 1, rng.uniform(0.5 + sep, 1.0, n),
+                      rng.uniform(0.0, 0.5 - sep, n))
+        f2 = rng.uniform(0, 1, n)
+        noise = rng.uniform(0, 1, n)
+        X = pd.DataFrame({"doc_jac_dlm": f1, "doc_cos_dlm": f2,
+                          "noi_lev_none": noise})
+        rf = RandomForest.train(X, y, n_estimators=7, max_depth=3,
+                                seed=seed % 97)
+        rules = rules_from_forest(rf, specs, strategy="optimal")
+        if not rules:
+            return
+        bounds_list, trees_of = _positive_paths(rf)
+        name_to_idx = {s.name: i for i, s in enumerate(specs)}
+        # skip examples where NO feasible selection exists (positive paths
+        # bound only by the unblockable lev feature) — rules_from_forest
+        # then falls back to greedy, which carries no feasibility guarantee
+        blockable = {0, 1}
+        max_cover = {p for p, b in enumerate(bounds_list)
+                     if any(f in b for f in blockable)}
+        tp_all = {}
+        for p, ts in enumerate(trees_of):
+            for t in ts:
+                tp_all.setdefault(t, set()).add(p)
+        achievable = sum(1 for t in range(len(rf.trees))
+                         if tp_all.get(t, set()) <= max_cover)
+        if achievable <= len(rf.trees) / 2:
+            return
+        covered = set()
+        for r in rules:
+            f = name_to_idx[f"{r.attr}_{r.sim}_{r.tok}"]
+            covered |= {p for p, b in enumerate(bounds_list)
+                        if b.get(f, -1) >= r.threshold - 1e-9}
+        tree_paths = {}
+        for p, ts in enumerate(trees_of):
+            for t in ts:
+                tree_paths.setdefault(t, set()).add(p)
+        full = sum(1 for t in range(len(rf.trees))
+                   if tree_paths.get(t, set()) <= covered)
+        assert full > len(rf.trees) / 2, (full, len(rf.trees), rules)
+
+    check()
+
+
+def test_word2vec_roundtrip_property(tmp_path):
+    """Property: the numpy word2vec parser inverts the binary writer for
+    arbitrary token strings (unicode, no spaces/newlines) and dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import (
+        PretrainedEmbedder,
+    )
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" \n",
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=15, deadline=None)
+    @given(toks=st.lists(token, min_size=1, max_size=8, unique=True),
+           dim=st.integers(1, 16), seed=st.integers(0, 1000))
+    def check(toks, dim, seed):
+        rng = np.random.default_rng(seed)
+        V = rng.normal(size=(len(toks), dim)).astype(np.float32)
+        p = tmp_path / f"w2v_{seed}_{dim}.bin"
+        with open(p, "wb") as f:
+            f.write(f"{len(toks)} {dim}\n".encode())
+            for t, row in zip(toks, V):
+                f.write(t.encode() + b" " + row.tobytes() + b"\n")
+        e = PretrainedEmbedder().load_word2vec(str(p), binary=True)
+        assert list(e.vocab) == toks
+        assert e.dim == dim
+        assert np.allclose(e.vectors, V.astype(np.float64))
+
+    check()
