@@ -189,3 +189,32 @@ def test_interval_join_matches_duckdb(ray_session):
     got = got[exp.columns.tolist()]
     for c in exp.columns:
         assert np.array_equal(got[c].to_numpy(np.int64), exp[c].to_numpy(np.int64)), c
+
+
+def test_asof_interval_one_sided_buckets(ray_session):
+    """Buckets holding only one side (disjoint key sets) produce zero inner
+    rows; asof left-join keeps unmatched lefts with null right columns."""
+    from entityblockingbysimilarityjoins_ray.stages.joins import (
+        asof_join,
+        interval_join,
+    )
+
+    left = pd.DataFrame({"lid": [0, 1], "user": [100, 200],
+                         "lts": np.array([10, 20], "datetime64[s]").astype("datetime64[us]")})
+    right = pd.DataFrame({"rid": [0], "user": [300],
+                          "rts": np.array([5], "datetime64[s]").astype("datetime64[us]")})
+    inner = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                      on="user", left_ts="lts", right_ts="rts",
+                      num_partitions=4).to_pandas()
+    assert len(inner) == 0
+    lj = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                   on="user", left_ts="lts", right_ts="rts", how="left",
+                   num_partitions=4).to_pandas()
+    assert len(lj) == 2 and lj["rts"].isna().all()
+
+    pts = pd.DataFrame({"pid": [0], "k": [7], "v": [5]})
+    iv = pd.DataFrame({"iid": [0], "k": [9], "lo": [0], "hi": [10]})
+    out = interval_join(ray.data.from_pandas(pts), ray.data.from_pandas(iv),
+                        on="k", point_col="v", lo_col="lo", hi_col="hi",
+                        num_partitions=4).to_pandas()
+    assert len(out) == 0
