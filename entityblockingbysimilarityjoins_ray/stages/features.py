@@ -129,13 +129,21 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
     ok = (r1 >= 0) & (r2 >= 0)
     ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
     out = {"id1": pa.array(ids1, pa.string()), "id2": pa.array(ids2, pa.string())}
+    # several specs usually share one (attr, tok, q) tokenization (jac/cos/
+    # dice/ovlpcoeff over the same column) — compute the per-pair overlap
+    # ONCE per tokenization, not once per spec (it dominates the kernel)
+    ovlp_cache: dict = {}
     for s in specs:
         if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff"):
             from .verify import overlap_auto
 
-            vals, offs, m = state[("toks", s.attr, s.tok, s.q)]
-            ovlp = overlap_auto(vals, offs, m, r1, r2)
-            la, lb = np.diff(offs)[r1], np.diff(offs)[r2]
+            key = (s.attr, s.tok, s.q)
+            if key not in ovlp_cache:
+                vals, offs, m = state[("toks", *key)]
+                lens = np.diff(offs)
+                ovlp_cache[key] = (overlap_auto(vals, offs, m, r1, r2),
+                                   lens[r1], lens[r2])
+            ovlp, la, lb = ovlp_cache[key]
             f = S.set_sims_from_overlap(ovlp, la, lb, s.sim)
             # NaN when either side empty (reference feature_utils.cc:8,51)
             f = np.where((la == 0) | (lb == 0), np.nan, f)
@@ -181,18 +189,21 @@ def _extract_joined(batch: pa.Table, *, specs) -> pa.Table:
     columns (l_*/r_*) — features computed straight from the paired columns."""
     out = {"id1": batch.column("id1"), "id2": batch.column("id2")}
     n = batch.num_rows
+    ovlp_cache: dict = {}  # one overlap pass per shared (attr, tok, q)
     for s in specs:
         if n == 0:
             out[s.name] = pa.array([], pa.float64())
             continue
         if s.sim in ("jac", "cos", "dice", "overlap", "ovlpcoeff"):
             c = _tok_col(s.attr, s.tok, s.q)
-            va, oa = S.flatten_lists(batch.column(f"l_{c}"))
-            vb, ob = S.flatten_lists(batch.column(f"r_{c}"))
-            ovlp = S.pair_overlap(va, oa, vb, ob)
-            f = S.set_sims_from_overlap(ovlp, np.diff(oa), np.diff(ob), s.sim)
-            empty = (np.diff(oa) == 0) | (np.diff(ob) == 0)
-            f = np.where(empty, np.nan, f)
+            if c not in ovlp_cache:
+                va, oa = S.flatten_lists(batch.column(f"l_{c}"))
+                vb, ob = S.flatten_lists(batch.column(f"r_{c}"))
+                ovlp_cache[c] = (S.pair_overlap(va, oa, vb, ob),
+                                 np.diff(oa), np.diff(ob))
+            ovlp, la, lb = ovlp_cache[c]
+            f = S.set_sims_from_overlap(ovlp, la, lb, s.sim)
+            f = np.where((la == 0) | (lb == 0), np.nan, f)
         else:
             a = np.asarray(batch.column(f"l_r_{s.attr}").to_numpy(zero_copy_only=False), dtype=object)
             b = np.asarray(batch.column(f"r_r_{s.attr}").to_numpy(zero_copy_only=False), dtype=object)
