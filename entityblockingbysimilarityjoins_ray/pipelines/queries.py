@@ -1011,6 +1011,109 @@ FROM e JOIN sess ON e.user_id = sess.user_id
                 AND e.tus BETWEEN sess.start_us AND sess.end_us"""
 
 
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Money doubles -> int64 cents, half AWAY from zero (DuckDB round()
+    semantics; np.round's banker's rounding diverges on exact half-cents).
+    Integer sums make the aggregate order-independent, so the driver's
+    value hash is stable across summation orders."""
+    v = np.asarray(x, np.float64) * 100.0
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
+def q_tpch_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem: per (l_returnflag,
+    l_linestatus) row counts, total quantity, and base-price cents — partial
+    per-batch combiner before ONE small groupby (the scale shape: the
+    shuffle moves only #groups x #blocks rows)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+            "base_cents": _cents(df["l_extendedprice"]),
+        })
+        return (g.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                 .agg(n_items=("qty", "size"), sum_qty=("qty", "sum"),
+                      sum_base_cents=("base_cents", "sum")).reset_index())
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base_cents", alias_name="sum_base_cents"))
+    )
+
+
+SQL_TPCH_PRICING = """SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents
+FROM lineitem GROUP BY 1, 2"""
+
+
+def q_tpch_top_customers(sf_dir: str):
+    """Top-50 customers by order revenue with their nation name: per-batch
+    partial sums -> keyed groupby -> hash_join to customer -> BROADCAST
+    nation lookup (25 rows never shuffle) -> deterministic
+    (revenue DESC, custkey) top-50."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import get_broadcast
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_custkey": df["o_custkey"],
+                          "cents": _cents(df["o_totalprice"])})
+        return (g.groupby("o_custkey", sort=False)
+                 .agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+                 .reset_index())
+
+    rev = (orders.map_batches(partial, batch_format="pandas")
+           .groupby("o_custkey")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    j = hash_join(rev, cust, on="o_custkey", right_on="c_custkey",
+                  num_partitions=16)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(pd.Series(nation["n_name"].to_numpy(object),
+                             index=pd.Index(nation["n_nationkey"])))
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        m = get_broadcast(nref)
+        nk = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+        return t.append_column(
+            "n_name", pa.array(m.reindex(nk).to_numpy(object), pa.string()))
+
+    out = j.map_batches(add_nation, batch_format="pyarrow")
+    top = (out.sort(["sum_cents", "o_custkey"], descending=[True, False])
+           .limit(50))
+    return top.map_batches(
+        lambda df: df[["o_custkey", "c_name", "n_name", "n_orders", "sum_cents"]]
+        .rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+
+
+SQL_TPCH_TOP_CUSTOMERS = """WITH rev AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+  FROM orders GROUP BY 1)
+SELECT rev.o_custkey AS c_custkey, c.c_name, n.n_name, rev.n_orders, rev.sum_cents
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY rev.sum_cents DESC, rev.o_custkey
+LIMIT 50"""
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase matched to the user's latest click at or
     before it (DuckDB ASOF JOIN twin).  One hash-bucket shuffle on the key,
@@ -1170,6 +1273,8 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_in_sessions": q_events_in_sessions,
     "events_window": q_events_window,
+    "tpch_pricing": q_tpch_pricing,
+    "tpch_top_customers": q_tpch_top_customers,
     "events_sessionize": q_events_sessionize,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1210,6 +1315,8 @@ ORACLES = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_in_sessions": SQL_EVENTS_IN_SESSIONS,
     "events_window": SQL_EVENTS_WINDOW,
+    "tpch_pricing": SQL_TPCH_PRICING,
+    "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
     # fingerprint_winnow, embed_dup_pairs_lsh, ic_graph,

@@ -61,6 +61,7 @@ ORACLE_NAMES = [
     "topk_allscore", "topk_allscore_weighted", "quality_docs", "token_count",
     "block_fused_union", "block_dice", "block_jac_weighted_rs", "token_df_qgram",
     "events_sessionize", "events_asof", "events_in_sessions",
+    "tpch_pricing", "tpch_top_customers",
 ]
 
 
