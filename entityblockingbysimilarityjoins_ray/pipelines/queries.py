@@ -1034,6 +1034,8 @@ def q_tpch_pricing(sf_dir: str):
         g = pd.DataFrame({
             "l_returnflag": df["l_returnflag"],
             "l_linestatus": df["l_linestatus"],
+            # l_quantity is integral by construction (TESTDATA.md); astype
+            # truncation and the oracle's CAST agree only on integral values
             "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
             "base_cents": _cents(df["l_extendedprice"]),
         })
