@@ -46,11 +46,17 @@ class BlockingRule:
     q: int = 3  # only for tok == "qgm"
     threshold: float = 0.7  # delta for set sims, D for lev (int), t for anm
     sign: str = "+"  # reserved; reference supports +/- rules
+    #: lev threshold domain: 'dist' = integer edit distance (PassJoin D),
+    #: 'sim' = normalized similarity 1 - d/max(|a|,|b|) in (0, 1] — the
+    #: feature-domain lev a reference lev_sim rule thresholds
+    lev_metric: str = "dist"
 
     @property
     def name(self) -> str:
         tokpart = f"{self.tok}{self.q}" if self.tok == "qgm" else self.tok
-        return f"{self.attr}_{self.sim}_{tokpart}_{self.threshold:g}"
+        simpart = ("levsim" if self.sim == "lev" and self.lev_metric == "sim"
+                   else self.sim)
+        return f"{self.attr}_{simpart}_{tokpart}_{self.threshold:g}"
 
 
 def rule_from_feature_name(feature_name: str, threshold: float,
@@ -74,9 +80,16 @@ def rule_from_feature_name(feature_name: str, threshold: float,
                 q = int(t[3:])
         else:
             tok = t
-    # two-segment lev forms (lev_sim / lev_dist, graph.py sort_ranges2) first
+    # two-segment lev forms (lev_sim / lev_dist, graph.py sort_ranges2)
+    # first.  lev_sim thresholds a NORMALIZED similarity — carrying it into
+    # a distance-domain rule would silently collapse blocking to
+    # exact-match (int(0.78) == 0), so the metric travels on the rule
+    lev_metric = "dist"
     if len(parts) >= 2 and "_".join(parts[-2:]) in SIM_ALIASES:
-        sim = SIM_ALIASES["_".join(parts[-2:])]
+        two = "_".join(parts[-2:])
+        sim = SIM_ALIASES[two]
+        if two == "lev_sim":
+            lev_metric = "sim"
         parts = parts[:-2]
     elif parts and parts[-1] in SIM_ALIASES:
         sim = SIM_ALIASES[parts.pop()]
@@ -94,7 +107,7 @@ def rule_from_feature_name(feature_name: str, threshold: float,
     if not attr:
         raise ValueError(f"no attribute in feature name {feature_name!r}")
     return BlockingRule(attr=attr, sim=sim, tok=tok, q=q,
-                        threshold=threshold, sign=sign)
+                        threshold=threshold, sign=sign, lev_metric=lev_metric)
 
 
 def rules_from_text(text: str) -> list[BlockingRule]:

@@ -110,6 +110,10 @@ def run_rule(
     if rule.sim == "anm":
         return B.anm_self_join(docs, rule.attr, rule.threshold, cfg)
     if rule.sim == "lev":
+        if rule.lev_metric == "sim":
+            from ..stages.editjoin import lev_sim_self_join
+
+            return lev_sim_self_join(docs, rule.attr, rule.threshold, cfg)
         return edit_self_join(docs, rule.attr, int(rule.threshold), cfg)
     raise ValueError(f"unknown rule sim {rule.sim!r}")
 

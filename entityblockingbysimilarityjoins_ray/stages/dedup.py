@@ -520,8 +520,14 @@ def embedding_dup_pairs(
     bit_weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
     def sign_batch(t: pa.Table) -> pa.Table:
-        P = get_broadcast(planes_ref)
         ids_b = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids_b) == 0:
+            # _vec_matrix can't infer d from an empty block -> (0, 1) would
+            # crash the (n, d) @ (d, n_planes) matmul
+            return pa.table({"pb": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "id": t.column(id_col)})
+        P = get_broadcast(planes_ref)
         M = _vec_matrix(t.column(vec_col), len(ids_b))
         # sign(v @ P) is scale-invariant — no per-row normalization needed
         key = ((M @ P) > 0).astype(np.int64) @ bit_weights

@@ -40,6 +40,12 @@ def _rule_sims(sample: pd.DataFrame, rule: BlockingRule, la: str, rb: str) -> tu
     missing = (a_s == "") | (b_s == "")
     if rule.sim == "lev":
         val = S.lev_dist_batch(a_s, b_s).astype(np.float64)  # distance; predicate <= D
+        if rule.lev_metric == "sim":
+            # lev_sim rules threshold the NORMALIZED similarity
+            la_n = np.array([len(x) for x in a_s], np.float64)
+            lb_n = np.array([len(x) for x in b_s], np.float64)
+            mx = np.maximum(la_n, lb_n)
+            val = np.where(mx > 0, 1.0 - val / np.maximum(mx, 1.0), 1.0)
     elif rule.sim == "exm":
         val = (pd.Series(a_s).to_numpy() == pd.Series(b_s).to_numpy()).astype(np.float64)
     elif rule.sim == "anm":
@@ -64,6 +70,8 @@ def _rule_sims(sample: pd.DataFrame, rule: BlockingRule, la: str, rb: str) -> tu
 
 def _passes(val: np.ndarray, rule: BlockingRule) -> np.ndarray:
     if rule.sim == "lev":
+        if rule.lev_metric == "sim":
+            return val >= rule.threshold  # val already normalized levSim
         return val <= np.floor(rule.threshold + 1e-5)
     if rule.sim == "overlap":
         return val >= np.ceil(rule.threshold - 1e-5)

@@ -303,3 +303,89 @@ def edit_rs_join(
     )
     candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     return _edit_verify_stage(candidates, proj_a, proj_b, D, cfg, n_records)
+
+
+def lev_sim_self_join(
+    docs: "ray.data.Dataset", attr: str, s: float, cfg: PipelineConfig,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """All pairs with NORMALIZED Levenshtein similarity
+    ``1 - d / max(|a|, |b|) >= s`` — the feature-domain lev
+    (features._extract_batch), which a ``lev_sim`` blocking rule from a
+    reference feature file thresholds (graph.py sort_ranges2).
+
+    A fixed-distance PassJoin cannot take a normalized threshold directly,
+    so the join runs at the corpus bound ``K = floor((1-s) * Lmax)``
+    (sound superset: d <= (1-s)*max(|a|,|b|) <= (1-s)*Lmax), then an exact
+    normalized filter keeps the true pairs.  Output sim = levSim."""
+    if not (0.0 < s <= 1.0):
+        raise ValueError(f"lev_sim threshold must be in (0, 1], got {s}")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    proj = _proj(docs, attr)
+    lmax_pd = proj.map_batches(
+        lambda t: pa.table({"l": pa.array(
+            [pc.max(pc.utf8_length(pc.cast(t.column("val"), pa.string()))).as_py() or 0],
+            pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lmax = int(lmax_pd["l"].max()) if len(lmax_pd) else 0
+    K = int(np.floor((1.0 - s) * lmax + 1e-9))
+    if n_records is None:
+        n_records = docs.count()
+    pairs = edit_self_join(docs, attr, K, cfg, n_records=n_records)
+
+    lens = proj.map_batches(
+        lambda t: pa.table({
+            "cid": t.column("conv_id"),
+            "len": pc.cast(pc.utf8_length(pc.cast(t.column("val"), pa.string())), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def to_sim(d: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+        mx = np.maximum(la, lb).astype(np.float64)
+        # empty-vs-empty -> 1.0, matching the lev feature kernel
+        return np.where(mx > 0, 1.0 - d / np.maximum(mx, 1.0), 1.0)
+
+    if n_records <= cfg.broadcast_limit:
+        lt = lens.to_pandas()
+        lmap = pd.Series(lt["len"].to_numpy(np.int64),
+                         index=pd.Index(lt["cid"].astype(str)))
+        ref = ray.put(lmap)
+        from ..functions.hashing import get_broadcast
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            m = get_broadcast(ref)
+            la = m.reindex(df["id1"].astype(str)).to_numpy(np.float64)
+            lb = m.reindex(df["id2"].astype(str)).to_numpy(np.float64)
+            sim = to_sim(df["sim"].to_numpy(np.float64), la, lb)
+            out = df[sim >= s - 1e-12].copy()
+            out["sim"] = sim[sim >= s - 1e-12]
+            return out
+
+        return pairs.map_batches(filt, batch_format="pandas")
+
+    from .joins import hash_join
+    from .verify import _rename
+
+    l1 = _rename(lens, {"cid": "cid1", "len": "len1"})
+    l2 = _rename(lens, {"cid": "cid2", "len": "len2"})
+    j = hash_join(pairs, l1, on="id1", right_on="cid1",
+                  num_partitions=cfg.pair_partitions)
+    j = hash_join(j, l2, on="id2", right_on="cid2",
+                  num_partitions=cfg.pair_partitions)
+
+    def filt_j(t: "pa.Table") -> "pa.Table":
+        d = np.asarray(t.column("sim"), dtype=np.float64)
+        la = np.asarray(t.column("len1"), dtype=np.float64)
+        lb = np.asarray(t.column("len2"), dtype=np.float64)
+        sim = to_sim(d, la, lb)
+        keep = sim >= s - 1e-12
+        out = t.drop_columns(["len1", "len2"]).filter(pa.array(keep))
+        i = out.column_names.index("sim")
+        return out.set_column(i, "sim", pa.array(sim[keep], pa.float64()))
+
+    return j.map_batches(filt_j, batch_format="pyarrow")

@@ -252,7 +252,10 @@ def extract_features(
     )
     if broadcast is None:
         n_records = n_records if n_records is not None else docs.count()
-        broadcast = n_records <= broadcast_limit
+        from .verify import should_broadcast
+
+        # bytes + count gate: record counts alone under-estimate wide docs
+        broadcast = should_broadcast(docs, n_records, broadcast_limit)
     if broadcast:
         from .verify import collect_arrow
 
@@ -559,7 +562,10 @@ def extract_features_ic(
     )
     if broadcast is None:
         n_records = n_records if n_records is not None else docs.count()
-        broadcast = n_records <= broadcast_limit
+        from .verify import should_broadcast
+
+        # bytes + count gate: record counts alone under-estimate wide docs
+        broadcast = should_broadcast(docs, n_records, broadcast_limit)
     if broadcast:
         from .verify import collect_arrow
 

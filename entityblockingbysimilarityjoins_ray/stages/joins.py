@@ -139,6 +139,11 @@ def asof_join(
     left rows; ``'left'`` keeps them with nulls on the right columns."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct column names")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join direction must be 'backward' or 'forward', got {direction!r}")
     right_on = right_on if right_on is not None else on
     lsch = _pa_schema(left)
     rsch = _pa_schema(right)
@@ -183,7 +188,13 @@ def asof_join(
 
     def merge(df: pd.DataFrame) -> pa.Table:
         lp = df[df[_SIDE] == 0][lnames].sort_values(left_ts, kind="mergesort")
-        rp = df[df[_SIDE] == 1][rnames].sort_values(right_ts, kind="mergesort")
+        # among right rows tied on (key, ts), merge_asof keeps the LAST in
+        # sort order — sort ALL right columns so the winner is deterministic
+        # regardless of shuffle arrival order (note: a SQL ASOF oracle's
+        # tie choice is implementation-defined; compare against one only
+        # when (key, ts) is unique on the right side)
+        rp = df[df[_SIDE] == 1][rnames].sort_values(
+            [right_ts] + [c for c in rnames if c != right_ts], kind="mergesort")
         by_kw = dict(by=on) if on == right_on else dict(left_by=on, right_by=right_on)
         m = pd.merge_asof(lp, rp, left_on=left_ts, right_on=right_ts,
                           direction=direction, **by_kw)

@@ -876,7 +876,10 @@ def ditto_match(
     proj = docs.select_columns(["conv_id"] + list(attrs))
     if broadcast is None:
         n_records = n_records if n_records is not None else docs.count()
-        broadcast = n_records <= broadcast_limit
+        from .verify import should_broadcast
+
+        # bytes + count gate: record counts alone under-estimate wide docs
+        broadcast = should_broadcast(proj, n_records, broadcast_limit)
     if broadcast:
         from .verify import collect_arrow
 
@@ -904,18 +907,11 @@ def ditto_match(
 
         joined = pairs.map_batches(attach, batch_format="pyarrow")
     else:
+        from .features import _ren_side
         from .joins import hash_join
 
-        def ren(prefix):
-            def f(t: pa.Table) -> pa.Table:
-                return t.rename_columns(
-                    [("cid_" + prefix if c == "conv_id" else f"{prefix}_{c}")
-                     for c in t.column_names])
-
-            return f
-
-        left = proj.map_batches(ren("l"), batch_format="pyarrow")
-        right = proj.map_batches(ren("r"), batch_format="pyarrow")
+        left = proj.map_batches(_ren_side("l"), batch_format="pyarrow")
+        right = proj.map_batches(_ren_side("r"), batch_format="pyarrow")
         joined = hash_join(pairs.select_columns(["id1", "id2"]), left,
                            on="id1", right_on="cid_l", num_partitions=num_partitions)
         joined = hash_join(joined, right, on="id2", right_on="cid_r",

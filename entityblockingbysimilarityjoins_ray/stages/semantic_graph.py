@@ -299,6 +299,15 @@ def semantic_graph(
     vals_ds = matched_values(matches, docs, attr, num_partitions=num_partitions,
                              n_records=n_records).materialize()
     vocab = pd.Index(vals_ds.to_pandas()["val"].astype(str))  # vocabulary-sized
+    # candidate_value_pairs dedupes on 64-bit value hashes — a collision
+    # must fail LOUDLY (same contract as the hash-keyed verify paths),
+    # not silently drop a candidate edge
+    from ..functions.hashing import hash_strings
+
+    if not pd.Index(hash_strings(np.asarray(vocab.to_numpy(), dtype=object))).is_unique:
+        raise RuntimeError(
+            "64-bit value-hash collision in the semantic-graph vocabulary; "
+            "the hash-keyed candidate dedup is unsound for this value set")
     state = _build_sim_state(vocab, strategy, embedder, dim=dim, tok=tok, q=q)
     state_ref = ray.put(state)
 
@@ -443,9 +452,6 @@ class _Reformatter:
         st = self.state
         li = st.vocab.get_indexer(lv)
         ri = st.vocab.get_indexer(rv)
-        # distinct (lv, rv) pairs only — match tables repeat value pairs
-        key = pd.MultiIndex.from_arrays([lv, rv])
-        uniq, inv = np.unique(key.to_numpy(), return_inverse=True)
         out_l = lv.copy()
         out_r = rv.copy()
         cache: dict = {}

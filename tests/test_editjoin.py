@@ -42,3 +42,46 @@ def test_edit_join_matches_duckdb(ray_session, D):
         "WHERE levenshtein(a.head, b.head) != g.sim"
     ).fetchone()[0]
     assert chk == 0
+
+
+def test_lev_sim_rule_end_to_end(ray_session):
+    """A parsed lev_sim rule must block on NORMALIZED Levenshtein
+    similarity (review finding: the alias previously collapsed to
+    int(0.78)=0 exact-match).  lev_sim_self_join == brute force."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.config import (
+        PipelineConfig,
+        rule_from_feature_name,
+    )
+    from entityblockingbysimilarityjoins_ray.functions.sims import lev_dist
+    from entityblockingbysimilarityjoins_ray.pipelines.er import run_rule
+
+    r = rule_from_feature_name("head_head_lev_sim", 0.75)
+    assert (r.sim, r.lev_metric, r.threshold) == ("lev", "sim", 0.75)
+    assert "levsim" in r.name
+
+    docs_pd = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(6)],
+        "head": ["entity matching", "entity watching", "entity matchers",
+                 "wholly different", "entity matching", ""],
+    })
+    docs = rd.from_pandas(docs_pd)
+    cfg = PipelineConfig(num_buckets=4, pair_partitions=4)
+    out = run_rule(docs, r, cfg).to_pandas()
+    got = {tuple(sorted((p.id1, p.id2))): p.sim for p in out.itertuples()}
+    exp = {}
+    for (i1, v1), (i2, v2) in itertools.combinations(
+            zip(docs_pd["conv_id"], docs_pd["head"]), 2):
+        mx = max(len(v1), len(v2))
+        sim = 1.0 - lev_dist(v1, v2) / mx if mx else 1.0
+        if sim >= 0.75:
+            exp[tuple(sorted((i1, i2)))] = sim
+    assert set(got) == set(exp), (set(got) ^ set(exp))
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    # the old behavior would have returned ONLY the exact-duplicate pair
+    assert len(exp) > 1
