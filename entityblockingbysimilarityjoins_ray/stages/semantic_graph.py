@@ -186,27 +186,29 @@ def _build_sim_state(vocab: pd.Index, strategy: str, embedder, *,
 
 
 # ---------------------------------------------------------------------------
-# candidate value pairs (the reference's readDocCandidatePairs input,
-# group.cc:446-459: value pairs harvested from the match result)
+# value attach + candidate value pairs (the reference's
+# readDocCandidatePairs input, group.cc:446-459: value pairs harvested from
+# the match result)
 # ---------------------------------------------------------------------------
 
 
-def candidate_value_pairs(
-    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
-    *, num_partitions: int = 32, broadcast_limit: int = 2_000_000,
-    n_records: int | None = None,
+def _attach_values(
+    pairs: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, out_l: str, out_r: str, num_partitions: int,
+    broadcast_limit: int, n_records: int | None = None,
 ) -> "ray.data.Dataset":
-    """Distinct canonical (v1 < v2) non-empty value pairs of ``attr`` over
-    matched record pairs.  Values reach the pairs via the repo's standard
-    broadcast-or-hash_join switch; distinctness goes through the int-keyed
-    ``dedupe_pairs`` (hash-bucket shuffle + vectorized in-bucket dedup) —
-    a groupby on the raw string pair would shuffle long values and pay
-    per-group pandas overhead on millions of single-row groups."""
+    """Append both sides' ``attr`` values to pair rows as STRING columns
+    ``out_l``/``out_r`` (nulls -> "") — the ONE broadcast-or-hash_join
+    value-attach used by every group-module stage, gated on records AND
+    bytes (verify.should_broadcast).  The join path is inner: a pair whose
+    id has no doc row is dropped (the broadcast path keeps it with "")."""
+    import pyarrow.compute as pc
+
+    from .verify import should_broadcast
+
     proj = docs.select_columns(["conv_id", attr])
     n = n_records if n_records is not None else docs.count()
-    if n <= broadcast_limit:
-        import pyarrow.compute as pc
-
+    if should_broadcast(proj, n, broadcast_limit):
         from .verify import collect_arrow
 
         tbl = collect_arrow(proj)
@@ -220,28 +222,55 @@ def candidate_value_pairs(
             m = get_broadcast(ref)
             a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
             b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
-            return _canon_pairs(a, b)
+            return (t.append_column(out_l, pa.array(
+                        pd.Series(a).fillna("").astype(str), pa.string()))
+                     .append_column(out_r, pa.array(
+                        pd.Series(b).fillna("").astype(str), pa.string())))
 
-        pairs = matches.select_columns(["id1", "id2"]).map_batches(
-            attach, batch_format="pyarrow")
-    else:
-        from .joins import hash_join
+        return pairs.map_batches(attach, batch_format="pyarrow")
 
-        def side(col, out):
-            return proj.map_batches(
-                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
-                                                  o: t.column(attr)}),
-                batch_format="pyarrow")
+    from .joins import hash_join
 
-        j = hash_join(matches.select_columns(["id1", "id2"]), side("cid1", "va"),
-                      on="id1", right_on="cid1", num_partitions=num_partitions)
-        j = hash_join(j, side("cid2", "vb"),
-                      on="id2", right_on="cid2", num_partitions=num_partitions)
-        pairs = j.map_batches(
-            lambda t: _canon_pairs(
-                np.asarray(t.column("va").to_numpy(zero_copy_only=False), dtype=object),
-                np.asarray(t.column("vb").to_numpy(zero_copy_only=False), dtype=object)),
+    def side(col, out):
+        return proj.map_batches(
+            lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
+                                              o: t.column(attr)}),
             batch_format="pyarrow")
+
+    j = hash_join(pairs, side("__cid1", out_l),
+                  on="id1", right_on="__cid1", num_partitions=num_partitions)
+    j = hash_join(j, side("__cid2", out_r),
+                  on="id2", right_on="__cid2", num_partitions=num_partitions)
+
+    def norm(t: pa.Table) -> pa.Table:
+        for c in (out_l, out_r):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.fill_null(pc.cast(t.column(c), pa.string()), ""))
+        return t
+
+    return j.map_batches(norm, batch_format="pyarrow")
+
+
+def candidate_value_pairs(
+    matches: "ray.data.Dataset", docs: "ray.data.Dataset", attr: str,
+    *, num_partitions: int = 32, broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+) -> "ray.data.Dataset":
+    """Distinct canonical (v1 < v2) non-empty value pairs of ``attr`` over
+    matched record pairs.  Values reach the pairs via ``_attach_values``;
+    distinctness goes through the int-keyed ``dedupe_pairs`` (hash-bucket
+    shuffle + vectorized in-bucket dedup) — a groupby on the raw string
+    pair would shuffle long values and pay per-group pandas overhead on
+    millions of single-row groups."""
+    attached = _attach_values(
+        matches.select_columns(["id1", "id2"]), docs, attr,
+        out_l="__va", out_r="__vb", num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit, n_records=n_records)
+    pairs = attached.map_batches(
+        lambda t: _canon_pairs(
+            np.asarray(t.column("__va").to_numpy(zero_copy_only=False), dtype=object),
+            np.asarray(t.column("__vb").to_numpy(zero_copy_only=False), dtype=object)),
+        batch_format="pyarrow")
     return _distinct_pairs(pairs, num_partitions)
 
 
@@ -518,42 +547,11 @@ def reformat_matches(
     state_ref = ray.put(state)
     adj_ref = ray.put(adj)
 
-    # attach raw values (same switch as candidate_value_pairs)
-    proj = docs.select_columns(["conv_id", attr])
-    n = n_records if n_records is not None else docs.count()
-    if n <= broadcast_limit:
-        import pyarrow.compute as pc
-
-        from .verify import collect_arrow
-
-        tbl = collect_arrow(proj)
-        vmap = pd.Series(
-            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
-            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
-        )
-        vref = ray.put(vmap)
-
-        def attach(t: pa.Table) -> pa.Table:
-            m = get_broadcast(vref)
-            a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
-            b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
-            return (t.append_column(f"l_{attr}", pa.array(pd.Series(a).fillna("").astype(str), pa.string()))
-                     .append_column(f"r_{attr}", pa.array(pd.Series(b).fillna("").astype(str), pa.string())))
-
-        joined = matches.map_batches(attach, batch_format="pyarrow")
-    else:
-        from .joins import hash_join
-
-        def side(col, out):
-            return proj.map_batches(
-                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
-                                                  o: t.column(attr)}),
-                batch_format="pyarrow")
-
-        joined = hash_join(matches, side("cid1", f"l_{attr}"),
-                           on="id1", right_on="cid1", num_partitions=num_partitions)
-        joined = hash_join(joined, side("cid2", f"r_{attr}"),
-                           on="id2", right_on="cid2", num_partitions=num_partitions)
+    joined = _attach_values(matches, docs, attr,
+                            out_l=f"l_{attr}", out_r=f"r_{attr}",
+                            num_partitions=num_partitions,
+                            broadcast_limit=broadcast_limit,
+                            n_records=n_records)
     return joined.map_batches(
         _Reformatter,
         fn_constructor_args=(state_ref, adj_ref, attr),
@@ -601,52 +599,16 @@ def slim_matches(
     emb_ref = ray.put(embedder)
 
     # attach values + score pair cosine in one streaming pass
-    proj = docs.select_columns(["conv_id", attr])
-    n = n_records if n_records is not None else docs.count()
-    if n <= broadcast_limit:
-        import pyarrow.compute as pc
-
-        from .verify import collect_arrow
-
-        tbl = collect_arrow(proj)
-        vmap = pd.Series(
-            np.asarray(pc.cast(tbl.column(attr), pa.string()).to_numpy(zero_copy_only=False), dtype=object),
-            index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
-        )
-        vref = ray.put(vmap)
-
-        def vals_of(t: pa.Table):
-            m = get_broadcast(vref)
-            a = m.reindex(np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
-            b = m.reindex(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)).to_numpy(object)
-            return t, a, b
-
-        scored_src = matches
-    else:
-        from .joins import hash_join
-
-        def side(col, out):
-            return proj.map_batches(
-                lambda t, c=col, o=out: pa.table({c: t.column("conv_id"),
-                                                  o: t.column(attr)}),
-                batch_format="pyarrow")
-
-        j = hash_join(matches, side("cid1", "__v1"),
-                      on="id1", right_on="cid1", num_partitions=num_partitions)
-        j = hash_join(j, side("cid2", "__v2"),
-                      on="id2", right_on="cid2", num_partitions=num_partitions)
-
-        def vals_of(t: pa.Table):
-            a = np.asarray(t.column("__v1").to_numpy(zero_copy_only=False), dtype=object)
-            b = np.asarray(t.column("__v2").to_numpy(zero_copy_only=False), dtype=object)
-            return t.drop_columns(["__v1", "__v2"]), a, b
-
-        scored_src = j
+    scored_src = _attach_values(matches, docs, attr,
+                                out_l="__v1", out_r="__v2",
+                                num_partitions=num_partitions,
+                                broadcast_limit=broadcast_limit,
+                                n_records=n_records)
 
     def score(t: pa.Table) -> pa.Table:
-        t, a, b = vals_of(t)
-        a = pd.Series(a).fillna("").astype(str).to_numpy(object)
-        b = pd.Series(b).fillna("").astype(str).to_numpy(object)
+        a = np.asarray(t.column("__v1").to_numpy(zero_copy_only=False), dtype=object)
+        b = np.asarray(t.column("__v2").to_numpy(zero_copy_only=False), dtype=object)
+        t = t.drop_columns(["__v1", "__v2"])
         emb = get_broadcast(emb_ref) if emb_ref is not None else None
         e = (emb.embed if emb is not None
              else (lambda v: embed_values(v, dim=dim, tok=tok, q=q)))
