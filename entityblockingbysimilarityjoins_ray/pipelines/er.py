@@ -33,7 +33,7 @@ from ..stages.canonicalize import canonicalize
 from ..stages.cluster import cluster_entities
 from ..stages.editjoin import edit_self_join
 from ..stages.features import DEFAULT_FEATURES, extract_features
-from ..stages.matcher import pairwise_prf, threshold_match
+from ..stages.matcher import distributed_prf, threshold_match
 
 logger = logging.getLogger(__name__)
 
@@ -263,10 +263,12 @@ def run_pipeline(
     ).materialize()
 
     if gold_pairs is not None:
-        mp = matches.select_columns(["id1", "id2"]).to_pandas()
-        metrics["match_prf"] = pairwise_prf(mp, gold_pairs)
-        cp = candidates.select_columns(["id1", "id2"]).to_pandas()
-        metrics["blocking_prf"] = pairwise_prf(cp, gold_pairs)
+        # DISTRIBUTED metrics: gold broadcasts (small by construction), the
+        # match/candidate sets are never collected — at 100x the candidate
+        # set is the job's largest intermediate and a to_pandas() here was
+        # the one driver-OOM hazard left in the pipeline
+        metrics["match_prf"] = distributed_prf(matches, gold_pairs)
+        metrics["blocking_prf"] = distributed_prf(candidates, gold_pairs)
 
     return {
         "docs": docs,

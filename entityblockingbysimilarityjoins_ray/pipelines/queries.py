@@ -1131,7 +1131,18 @@ def q_events_asof(sf_dir: str):
         lambda df: df[df["event_type"] == "click"][["user_id", "ts", "value"]].rename(
             columns={"ts": "click_ts", "value": "click_value"}),
         batch_format="pandas",
-    )
+    ).materialize()
+    # ORACLE PRECONDITION (enforced, not assumed): asof_join's tie-break
+    # among right rows equal on (key, ts) is deterministic but unspecified
+    # relative to DuckDB's ASOF JOIN, so the SQL comparison is only valid
+    # while clicks are unique per (user_id, ts) — fail LOUDLY if a future
+    # data-gen change breaks that instead of letting the oracle go flaky
+    dup_max = (right.groupby(["user_id", "click_ts"]).count().max("count()"))
+    if int(dup_max or 0) > 1:
+        raise AssertionError(
+            "q_events_asof oracle precondition violated: duplicate "
+            "(user_id, ts) click rows make the ASOF tie-break "
+            "implementation-defined")
     out = asof_join(left, right, on="user_id", left_ts="ts",
                     right_ts="click_ts", num_partitions=32)
     return out.map_batches(

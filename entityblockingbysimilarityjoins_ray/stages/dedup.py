@@ -235,21 +235,23 @@ def _minhash_pairgen(t: pa.Table, max_bucket: int = 100_000) -> pa.Table:
         jj = np.repeat(np.arange(n), l2)
         cum = np.concatenate(([0], np.cumsum(l2)[:-1]))
         ii = np.arange(total) - np.repeat(cum, l2) + np.repeat(grp_start, l2)
-        # kill agreements at bands 1..b-1 (band 0 is structurally excluded);
-        # every probed row has band > bprime, so its prefix holds band bprime
+        # kill agreements at bands 1..b-1 (band 0 is structurally excluded).
+        # A bucket is homogeneous in band EXCEPT under a cross-band 64-bit
+        # key collision; the band[ii] > bprime gate makes the check exact
+        # even then — a partner whose prefix cannot hold band bprime simply
+        # keeps the pair (it can only ADD a duplicate candidate, never drop
+        # a true one), and both prefix reads below are in-bounds by the gate
         keep = np.ones(total, bool)
         b = band[jj]
         alive = np.flatnonzero(b > 1)
         for bprime in range(1, int(b.max()) if alive.size else 1):
-            need = alive[b[alive] > bprime]
+            # both gate sets only shrink as bprime grows, so an empty need
+            # stays empty at every later band — break is exact
+            need = alive[(b[alive] > bprime) & (band[ii[alive]] > bprime)]
             if need.size == 0:
                 break
-            # clip guards the astronomically-unlikely cross-band key
-            # collision (a bucket is homogeneous in band otherwise, so the
-            # prefix always holds band bprime for both rows)
-            hi = max(flat.size - 1, 0)
-            agree = (flat[np.minimum(row_start[ii[need]] + bprime, hi)]
-                     == flat[np.minimum(row_start[jj[need]] + bprime, hi)])
+            agree = (flat[row_start[ii[need]] + bprime]
+                     == flat[row_start[jj[need]] + bprime])
             keep[need[agree]] = False
             alive = need[~agree]
         out_i.append(ii[keep])

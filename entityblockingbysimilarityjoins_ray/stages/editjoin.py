@@ -229,6 +229,8 @@ def _collect_vmap(proj: "ray.data.Dataset") -> pd.Series:
     from .verify import collect_arrow
 
     tbl = collect_arrow(proj)
+    if "val" not in tbl.column_names:  # fully-empty dataset loses its schema
+        return pd.Series(np.empty(0, object), index=pd.Index([], dtype=object))
     return pd.Series(
         np.asarray(tbl.column("val").to_numpy(zero_copy_only=False), dtype=object),
         index=pd.Index(np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)),
@@ -305,19 +307,44 @@ def edit_rs_join(
     return _edit_verify_stage(candidates, proj_a, proj_b, D, cfg, n_records)
 
 
+def _lev_sim_length_tops(lmax: int, s: float, max_classes: int = 6) -> list[int]:
+    """Ascending length-class tops with ratio >= 1/s between successive tops
+    (so only same-class and ADJACENT-class pairs can satisfy levSim >= s:
+    |a| <= top_i and |b| > top_{i+1} >= top_i / s imply |a| < s*|b|, which
+    contradicts d >= |b| - |a| <= (1-s)*|b|).  At most ``max_classes``."""
+    if lmax <= 0:
+        return [1]
+    r = max(1.0 / s, float(lmax) ** (1.0 / max_classes))
+    tops = [lmax]
+    while tops[-1] > 1 and len(tops) < max_classes:
+        nxt = int(np.floor(tops[-1] / r))
+        if nxt < 1:
+            break
+        tops.append(nxt)
+    return sorted(set(tops))
+
+
 def lev_sim_self_join(
     docs: "ray.data.Dataset", attr: str, s: float, cfg: PipelineConfig,
-    n_records: int | None = None,
+    n_records: int | None = None, bucket_min_k: int = 8,
 ) -> "ray.data.Dataset":
     """All pairs with NORMALIZED Levenshtein similarity
     ``1 - d / max(|a|, |b|) >= s`` — the feature-domain lev
     (features._extract_batch), which a ``lev_sim`` blocking rule from a
     reference feature file thresholds (graph.py sort_ranges2).
 
-    A fixed-distance PassJoin cannot take a normalized threshold directly,
-    so the join runs at the corpus bound ``K = floor((1-s) * Lmax)``
-    (sound superset: d <= (1-s)*max(|a|,|b|) <= (1-s)*Lmax), then an exact
-    normalized filter keeps the true pairs.  Output sim = levSim."""
+    A fixed-distance PassJoin cannot take a normalized threshold directly.
+    When the corpus bound ``K = floor((1-s) * Lmax)`` is small
+    (< ``bucket_min_k``) ONE PassJoin at K suffices (sound superset:
+    d <= (1-s)*max(|a|,|b|) <= (1-s)*Lmax).  Otherwise records are split
+    into LENGTH CLASSES with tops in ratio >= 1/s, and the join runs as one
+    per-class self-join at the class bound ``K_i = floor((1-s) * top_i)``
+    plus one RS join per ADJACENT class pair at the larger class's bound —
+    still an exact superset (non-adjacent classes cannot hold a passing
+    pair, see _lev_sim_length_tops), but a single long outlier value no
+    longer inflates K for every record (PassJoin pair generation degrades
+    ~quadratically in K).  An exact normalized filter then keeps the true
+    pairs.  Output sim = levSim."""
     if not (0.0 < s <= 1.0):
         raise ValueError(f"lev_sim threshold must be in (0, 1], got {s}")
     import pyarrow as pa
@@ -335,7 +362,46 @@ def lev_sim_self_join(
     K = int(np.floor((1.0 - s) * lmax + 1e-9))
     if n_records is None:
         n_records = docs.count()
-    pairs = edit_self_join(docs, attr, K, cfg, n_records=n_records)
+
+    def len_slice(lo: int, hi: int):
+        """docs rows with lo < len(attr) <= hi (len of the ""-filled value)."""
+        def f(t: pa.Table) -> pa.Table:
+            ln = pc.utf8_length(pc.fill_null(pc.cast(t.column(attr), pa.string()), ""))
+            mask = pc.and_(pc.greater(ln, lo), pc.less_equal(ln, hi))
+            return t.filter(mask)
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    if K < bucket_min_k:
+        pairs = edit_self_join(docs, attr, K, cfg, n_records=n_records)
+    else:
+        tops = _lev_sim_length_tops(lmax, s)
+        bounds = [-1] + tops  # class i covers (bounds[i], bounds[i+1]]
+        parts = []
+        for i, top in enumerate(tops):
+            ki = int(np.floor((1.0 - s) * top + 1e-9))
+            parts.append(edit_self_join(
+                len_slice(bounds[i], top), attr, ki, cfg))
+            if i + 1 < len(tops):
+                kij = int(np.floor((1.0 - s) * tops[i + 1] + 1e-9))
+                rs = edit_rs_join(
+                    len_slice(bounds[i], top),
+                    len_slice(top, tops[i + 1]), attr, kij, cfg)
+
+                def canon(df: pd.DataFrame) -> pd.DataFrame:
+                    # RS output is (A, B) order; self-join consumers expect
+                    # lexicographic id1 < id2
+                    a = df["id1"].astype(str).to_numpy(object)
+                    b = df["id2"].astype(str).to_numpy(object)
+                    swap = a > b
+                    return pd.DataFrame({"id1": np.where(swap, b, a),
+                                         "id2": np.where(swap, a, b),
+                                         "sim": df["sim"].to_numpy(np.float64)})
+
+                parts.append(rs.map_batches(canon, batch_format="pandas"))
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.union(p)
 
     lens = proj.map_batches(
         lambda t: pa.table({

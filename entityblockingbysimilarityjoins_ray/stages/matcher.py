@@ -504,6 +504,51 @@ def pairwise_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
     }
 
 
+def distributed_prf(pred: "ray.data.Dataset", gold: pd.DataFrame) -> dict:
+    """precision/recall/F1 of a DISTRIBUTED predicted pair Dataset vs a
+    (small-by-construction) gold pair frame, both id1 < id2.
+
+    The predicted set is NEVER collected on the driver: the gold pairs
+    broadcast once as a hash Index (exact string membership, no 64-bit
+    collision exposure) and each batch contributes a (tp, n) partial sum —
+    SURVEY §2.6's "recall = inner join pred⨝gold + count" as one
+    map_batches + Sum, so the metric path holds at 100 TB where the old
+    to_pandas() collect of the candidate set was a driver OOM.
+
+    Precondition (same as pairwise_prf's set semantics): ``pred`` rows are
+    distinct pairs — true for the blocking union and the match table by
+    construction (dedupe_pairs)."""
+    gkeys = pd.Index(
+        gold["id1"].astype(str).to_numpy(object)
+        + "\x00" + gold["id2"].astype(str).to_numpy(object)
+    )
+    n_gold = int(gkeys.size)
+    gref = ray.put(gkeys)
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import get_broadcast
+
+        gk = get_broadcast(gref)
+        i1 = pd.Series(t.column("id1").to_numpy(zero_copy_only=False)).astype(str)
+        i2 = pd.Series(t.column("id2").to_numpy(zero_copy_only=False)).astype(str)
+        tp = int((gk.get_indexer((i1 + "\x00" + i2).to_numpy(object)) >= 0).sum())
+        return pa.table({"tp": pa.array([tp], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    sums = (pred.select_columns(["id1", "id2"])
+            .map_batches(part, batch_format="pyarrow").sum(["tp", "n"]))
+    # Dataset.sum returns None on an empty dataset
+    tp = int((sums or {}).get("sum(tp)") or 0)
+    n_pred = int((sums or {}).get("sum(n)") or 0)
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": n_pred - tp, "fn": n_gold - tp,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
 def grid_search_train(
     X: pd.DataFrame, y: np.ndarray, *,
     param_grid: dict | None = None, cv: int = 5, seed: int = 42,
@@ -736,15 +781,25 @@ def knn_filter_matches(
 
     nn = ann_topk_bruteforce(vals_ds, np.arange(uvals.size, dtype=np.int64),
                              k=k, exclude_self=False)
-    allowed: dict = {}
-    for q, grp in nn.groupby("query_id"):
-        allowed[int(q)] = set(int(x) for x in grp["neighbor_id"])
+    # (query, neighbor) edge set as one SORTED packed-int64 key array — the
+    # demote membership test below is two vectorized binary searches per
+    # batch, no per-row Python (the KNN edge count is vocabulary x k sized)
+    n_vals = np.int64(uvals.size)
+    nkeys = np.sort(nn["query_id"].to_numpy(np.int64) * n_vals
+                    + nn["neighbor_id"].to_numpy(np.int64))
     vid_of = pd.Series(np.arange(uvals.size, dtype=np.int64), index=pd.Index(uvals))
-    knn_ref = ray.put((vid_of, allowed))
+    knn_ref = ray.put((vid_of, nkeys, n_vals))
 
     def demote(t: pa.Table) -> pa.Table:
         m = get_broadcast(iv_ref)
-        vid, alw = get_broadcast(knn_ref)
+        vid, keys, nv = get_broadcast(knn_ref)
+
+        def member(q: np.ndarray) -> np.ndarray:
+            if keys.size == 0:
+                return np.zeros(q.size, bool)
+            pos = np.searchsorted(keys, q)
+            return (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)] == q)
+
         lab = np.asarray(t.column(label_col), dtype=np.int64).copy()
         pred = lab == 1
         if pred.any():
@@ -752,14 +807,12 @@ def knn_filter_matches(
             i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
             v1 = vid.reindex(pd.Index(m.reindex(i1[pred]).to_numpy(object))).to_numpy()
             v2 = vid.reindex(pd.Index(m.reindex(i2[pred]).to_numpy(object))).to_numpy()
-            ok = np.ones(v1.size, bool)
-            for j in range(v1.size):
-                a, b = v1[j], v2[j]
-                if np.isnan(a) or np.isnan(b):
-                    ok[j] = False
-                    continue
-                a, b = int(a), int(b)
-                ok[j] = (b in alw.get(a, ())) and (a in alw.get(b, ()))
+            valid = ~(np.isnan(v1) | np.isnan(v2))
+            a = v1[valid].astype(np.int64)
+            b = v2[valid].astype(np.int64)
+            ok = np.zeros(v1.size, bool)
+            if a.size:
+                ok[valid] = member(a * nv + b) & member(b * nv + a)
             out = lab[pred]
             out[~ok] = 0
             lab[pred] = out

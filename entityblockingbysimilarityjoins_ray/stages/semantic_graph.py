@@ -117,7 +117,9 @@ class _CoherentSimState:
         return self.tok_ids[self.tok_offs[v]:self.tok_offs[v + 1]]
 
     def _fx(self, Sa, ka, Sb, kb, inter_ids) -> float:
-        """F over the union given both partial sums and the intersection."""
+        """F over the union given both partial sums and the intersection
+        (scalar form — kept as the tested definition the batched kernels
+        below must agree with)."""
         Si = self.N[inter_ids].sum(axis=0) if inter_ids.size else 0.0
         S = Sa + Sb - Si
         k = int(ka + kb - inter_ids.size)
@@ -125,14 +127,54 @@ class _CoherentSimState:
             return 0.0
         return float((S @ S - k) / 2.0 / k)
 
+    def _fx_batch(self, Sa, ka, Sb, kb, ci, Si) -> np.ndarray:
+        """Vectorized F over per-pair partial sums + intersection sums."""
+        S = Sa + Sb - Si
+        k = (ka + kb - ci).astype(np.float64)
+        dot = np.einsum("ij,ij->i", S, S) if S.size else np.zeros(len(k))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = (dot - k) / 2.0 / k
+        return np.where(k <= 0, 0.0, np.nan_to_num(f))
+
+    def _inter_sums(self, ii: np.ndarray, jj: np.ndarray):
+        """Per-pair |intersection| + vector sum over the intersection of the
+        two sides' sorted token-id lists — ONE batched sorted-merge (fused
+        pair-major int keys + searchsorted + bincount/add.at), replacing the
+        former per-pair np.intersect1d loop."""
+        from .verify import gather_lists
+
+        n = ii.size
+        va, oa = gather_lists(self.tok_ids, self.tok_offs, ii)
+        vb, ob = gather_lists(self.tok_ids, self.tok_offs, jj)
+        m = np.int64(len(self.N) + 1)
+        ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+        rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
+        # fused keys are globally sorted: ra ascends, within a row the token
+        # ids ascend (lists are sorted at build time), and ids < m
+        ka = ra * m + va
+        kb = rb * m + vb
+        d = self.N.shape[1] if self.N.size else 0
+        Si = np.zeros((n, d), np.float64)
+        if ka.size and kb.size:
+            pos = np.searchsorted(ka, kb)
+            hit = (pos < ka.size) & (ka[np.minimum(pos, ka.size - 1)] == kb)
+        else:
+            hit = np.zeros(kb.size, bool)
+        ci = np.bincount(rb[hit], minlength=n).astype(np.int64)
+        if hit.any():
+            # add.at accumulates in kb order = per-pair ascending token id,
+            # the same summation order as the scalar _fx's N[inter].sum
+            np.add.at(Si, rb[hit], self.N[vb[hit]])
+        return ci, Si
+
     def sim_idx(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
-        out = np.empty(len(i), np.float64)
-        for n, (a, b) in enumerate(zip(i, j)):
-            inter = np.intersect1d(self._toks_of(int(a)), self._toks_of(int(b)),
-                                   assume_unique=True)
-            out[n] = self._fx(self.S[int(a)], self.k[int(a)],
-                              self.S[int(b)], self.k[int(b)], inter)
-        return out
+        ii = np.asarray(i, np.int64)
+        jj = np.asarray(j, np.int64)
+        if ii.size == 0:
+            return np.empty(0, np.float64)
+        ci, Si = self._inter_sums(ii, jj)
+        return self._fx_batch(self.S[ii], self.k[ii], self.S[jj], self.k[jj],
+                              ci, Si)
 
     def embed_oov(self, vals: np.ndarray):
         """Token-id lists for out-of-vocabulary values."""
@@ -146,24 +188,41 @@ class _CoherentSimState:
         return res
 
     def sim_rows_vs_vec(self, rows: np.ndarray, oov_toks: np.ndarray) -> np.ndarray:
-        Sb = self.N[oov_toks].sum(axis=0) if oov_toks.size else np.zeros(self.N.shape[1])
-        kb = oov_toks.size
-        return np.asarray([
-            self._fx(self.S[int(r)], self.k[int(r)], Sb, kb,
-                     np.intersect1d(self._toks_of(int(r)), oov_toks,
-                                    assume_unique=True))
-            for r in rows
-        ])
+        """Rows vs ONE out-of-vocabulary token list (sorted), vectorized:
+        membership of each row's tokens in the OOV list via one searchsorted."""
+        from .verify import gather_lists
+
+        rr = np.asarray(rows, np.int64)
+        n = rr.size
+        if n == 0:
+            return np.empty(0, np.float64)
+        d = self.N.shape[1] if self.N.size else 0
+        Sb = self.N[oov_toks].sum(axis=0) if oov_toks.size else np.zeros(d)
+        kb = np.int64(oov_toks.size)
+        va, oa = gather_lists(self.tok_ids, self.tok_offs, rr)
+        ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+        if va.size and oov_toks.size:
+            pos = np.searchsorted(oov_toks, va)
+            hit = (pos < oov_toks.size) & (oov_toks[np.minimum(pos, oov_toks.size - 1)] == va)
+        else:
+            hit = np.zeros(va.size, bool)
+        ci = np.bincount(ra[hit], minlength=n).astype(np.int64)
+        Si = np.zeros((n, d), np.float64)
+        if hit.any():
+            np.add.at(Si, ra[hit], self.N[va[hit]])
+        return self._fx_batch(self.S[rr], self.k[rr],
+                              np.broadcast_to(Sb, (n, d)),
+                              np.full(n, kb), ci, Si)
 
     def sim_rows_vs_rows(self, rows_a: np.ndarray, rows_b: np.ndarray) -> np.ndarray:
-        out = np.empty((len(rows_a), len(rows_b)), np.float64)
-        for x, a in enumerate(rows_a):
-            ta = self._toks_of(int(a))
-            for y, b in enumerate(rows_b):
-                inter = np.intersect1d(ta, self._toks_of(int(b)), assume_unique=True)
-                out[x, y] = self._fx(self.S[int(a)], self.k[int(a)],
-                                     self.S[int(b)], self.k[int(b)], inter)
-        return out
+        """Full cross product via ONE batched sim_idx over the mesh."""
+        a = np.asarray(rows_a, np.int64)
+        b = np.asarray(rows_b, np.int64)
+        if a.size == 0 or b.size == 0:
+            return np.zeros((a.size, b.size), np.float64)
+        ii = np.repeat(a, b.size)
+        jj = np.tile(b, a.size)
+        return self.sim_idx(ii, jj).reshape(a.size, b.size)
 
 
 def _build_sim_state(vocab: pd.Index, strategy: str, embedder, *,
@@ -200,8 +259,10 @@ def _attach_values(
     """Append both sides' ``attr`` values to pair rows as STRING columns
     ``out_l``/``out_r`` (nulls -> "") — the ONE broadcast-or-hash_join
     value-attach used by every group-module stage, gated on records AND
-    bytes (verify.should_broadcast).  The join path is inner: a pair whose
-    id has no doc row is dropped (the broadcast path keeps it with "")."""
+    bytes (verify.should_broadcast).  Both paths agree on pairs whose id has
+    no doc row: the broadcast reindex yields NaN -> "" and the join path
+    LEFT-joins with the same "" fill, so reformat/slim consumers see the
+    identical row set on either side of the gate."""
     import pyarrow.compute as pc
 
     from .verify import should_broadcast
@@ -237,9 +298,9 @@ def _attach_values(
                                               o: t.column(attr)}),
             batch_format="pyarrow")
 
-    j = hash_join(pairs, side("__cid1", out_l),
+    j = hash_join(pairs, side("__cid1", out_l), how="left",
                   on="id1", right_on="__cid1", num_partitions=num_partitions)
-    j = hash_join(j, side("__cid2", out_r),
+    j = hash_join(j, side("__cid2", out_r), how="left",
                   on="id2", right_on="__cid2", num_partitions=num_partitions)
 
     def norm(t: pa.Table) -> pa.Table:
@@ -479,33 +540,44 @@ class _Reformatter:
         lv = pd.Series(lv).fillna("").to_numpy(object)
         rv = pd.Series(rv).fillna("").to_numpy(object)
         st = self.state
-        li = st.vocab.get_indexer(lv)
-        ri = st.vocab.get_indexer(rv)
-        out_l = lv.copy()
-        out_r = rv.copy()
-        cache: dict = {}
-        for row in range(len(lv)):
-            k = (lv[row], rv[row])
-            if k in cache:
-                out_l[row], out_r[row] = cache[k]
-                continue
-            nl = self.adj.get(int(li[row])) if li[row] >= 0 else None
-            nr = self.adj.get(int(ri[row])) if ri[row] >= 0 else None
+        n = len(lv)
+        if n == 0:
+            return t
+        # group rows by DISTINCT (l, r) value pair once per batch: all
+        # branch work below runs over distinct pairs only (a hot match
+        # table repeats the same value pair many times), and rows rejoin
+        # through the unique-inverse map — no per-row Python loop
+        cl = pd.factorize(pd.Series(lv, dtype=object), sort=False)[0]
+        cr = pd.factorize(pd.Series(rv, dtype=object), sort=False)[0]
+        pk = cl.astype(np.int64) * np.int64(int(cr.max()) + 1) + cr
+        _, first, inv = np.unique(pk, return_index=True, return_inverse=True)
+        dl = lv[first]
+        dr = rv[first]
+        li = st.vocab.get_indexer(dl)
+        ri = st.vocab.get_indexer(dr)
+        res_l = dl.copy()
+        res_r = dr.copy()
+        nl_of = [self.adj.get(int(x)) if x >= 0 else None for x in li]
+        nr_of = [self.adj.get(int(x)) if x >= 0 else None for x in ri]
+        only_l = [d for d in range(len(first))
+                  if nl_of[d] is not None and nr_of[d] is None]
+        only_r = [d for d in range(len(first))
+                  if nl_of[d] is None and nr_of[d] is not None]
+        # ONE batched OOV embedding per side (the former code embedded the
+        # partner value per row)
+        q_r = st.embed_oov(dr[only_l].astype(object)) if only_l else []
+        q_l = st.embed_oov(dl[only_r].astype(object)) if only_r else []
+        for d in range(len(first)):
+            nl, nr = nl_of[d], nr_of[d]
             if nl is not None and nr is not None:
-                res = self._best_pair(nl, nr)
-            elif nl is not None:
-                q = st.embed_oov(np.asarray([rv[row]], dtype=object))
-                res = (self._best_single(nl, q[0]), rv[row])
-            elif nr is not None:
-                q = st.embed_oov(np.asarray([lv[row]], dtype=object))
-                res = (lv[row], self._best_single(nr, q[0]))
-            else:
-                res = (lv[row], rv[row])
-            cache[k] = res
-            out_l[row], out_r[row] = res
+                res_l[d], res_r[d] = self._best_pair(nl, nr)
+        for x, d in enumerate(only_l):
+            res_l[d] = self._best_single(nl_of[d], q_r[x])
+        for x, d in enumerate(only_r):
+            res_r[d] = self._best_single(nr_of[d], q_l[x])
         cols = {c: t.column(c) for c in t.column_names}
-        cols[f"l_{self.attr}"] = pa.array(out_l, pa.string())
-        cols[f"r_{self.attr}"] = pa.array(out_r, pa.string())
+        cols[f"l_{self.attr}"] = pa.array(res_l[inv], pa.string())
+        cols[f"r_{self.attr}"] = pa.array(res_r[inv], pa.string())
         return pa.table(cols)
 
 

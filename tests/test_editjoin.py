@@ -85,3 +85,45 @@ def test_lev_sim_rule_end_to_end(ray_session):
         assert abs(got[k] - exp[k]) < 1e-12
     # the old behavior would have returned ONLY the exact-duplicate pair
     assert len(exp) > 1
+
+
+def test_lev_sim_bucketed_matches_bruteforce(ray_session):
+    """Length-class bucketing (review finding: one long outlier inflated the
+    corpus-wide PassJoin bound K for every record): with a long outlier
+    forcing K >= bucket_min_k the join runs per length class + adjacent RS
+    joins, and must equal brute force exactly."""
+    import itertools
+
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.functions.sims import lev_dist
+    from entityblockingbysimilarityjoins_ray.stages.editjoin import (
+        _lev_sim_length_tops,
+        lev_sim_self_join,
+    )
+
+    s = 0.75
+    rng = np.random.default_rng(11)
+    short = ["".join(rng.choice(list("abcd"), size=rng.integers(3, 10)))
+             for _ in range(40)]
+    # planted near-dups within the short class
+    short += [short[0] + "a", short[1][:-1], short[2]]
+    mid = ["m" * 20, "m" * 20 + "xy", "m" * 19]
+    outlier = ["q" * 200, "q" * 199 + "z"]  # K_corpus = floor(0.25*200) = 50
+    vals = short + mid + outlier + [""]
+    docs_pd = pd.DataFrame({"conv_id": [f"c{i:03d}" for i in range(len(vals))],
+                            "head": vals})
+    # bucketing engages (K=50 >= 8) and produces >= 2 classes
+    assert len(_lev_sim_length_tops(200, s)) >= 2
+    out = lev_sim_self_join(rd.from_pandas(docs_pd), "head", s, CFG).to_pandas()
+    got = {tuple(sorted((p.id1, p.id2))): p.sim for p in out.itertuples()}
+    exp = {}
+    for (i1, v1), (i2, v2) in itertools.combinations(
+            zip(docs_pd["conv_id"], docs_pd["head"]), 2):
+        mx = max(len(v1), len(v2))
+        sim = 1.0 - lev_dist(v1, v2) / mx if mx else 1.0
+        if sim >= s:
+            exp[tuple(sorted((i1, i2)))] = sim
+    assert set(got) == set(exp), (set(got) ^ set(exp))
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
