@@ -20,6 +20,12 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
 
+from entityblockingbysimilarityjoins_ray.raycompat import (  # noqa: E402
+    suppress_empty_schema_warnings,
+)
+
+suppress_empty_schema_warnings()
+
 
 def entry() -> Any:
     """Flagship: transcripts -> canonicalize -> multi-rule blocking ->

@@ -42,6 +42,11 @@ def _init_ray(num_cpus: int):
     # real scale block count is data-driven anyway
     ctx.read_op_min_num_blocks = num_cpus * 2
     logging.getLogger("ray.data").setLevel(logging.WARNING)
+    from entityblockingbysimilarityjoins_ray.raycompat import (
+        suppress_empty_schema_warnings,
+    )
+
+    suppress_empty_schema_warnings()
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:

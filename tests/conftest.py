@@ -19,6 +19,11 @@ def ray_session():
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.WARNING)
+    from entityblockingbysimilarityjoins_ray.raycompat import (
+        suppress_empty_schema_warnings,
+    )
+
+    suppress_empty_schema_warnings()
     yield
     ray.shutdown()
 

@@ -86,6 +86,32 @@ def test_pairwise_prf():
     assert abs(m["f1"] - 0.5) < 1e-12
 
 
+def test_distributed_prf_matches_pairwise(ray_session):
+    """distributed_prf (broadcast gold + map_batches partial sums — the
+    metric path never collects the predicted set) must equal pairwise_prf
+    exactly, including on many-block inputs and the empty-pred edge."""
+    from entityblockingbysimilarityjoins_ray.stages.matcher import distributed_prf
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    pred = pd.DataFrame({
+        "id1": [f"a{i:05d}" for i in range(n)],
+        "id2": [f"b{i:05d}" for i in rng.integers(0, n, n)],
+    }).drop_duplicates(["id1", "id2"])
+    gold = pred.sample(frac=0.3, random_state=7).reset_index(drop=True)
+    # plus gold rows the prediction missed
+    gold = pd.concat([gold, pd.DataFrame(
+        {"id1": ["zz1", "zz2"], "id2": ["zz3", "zz4"]})], ignore_index=True)
+    ds = ray.data.from_pandas(pred).repartition(16)
+    got = distributed_prf(ds, gold)
+    exp = pairwise_prf(pred, gold)
+    assert got == exp
+    # empty predicted set: zero division guarded, recall 0
+    empty = ray.data.from_pandas(pred.iloc[0:0])
+    m0 = distributed_prf(empty, gold)
+    assert m0["tp"] == 0 and m0["precision"] == 0.0 and m0["recall"] == 0.0
+
+
 # ---------------------------------------------------------------------------
 # train -> rules -> block loop (graph.py / extract_formula.py semantics)
 # ---------------------------------------------------------------------------
