@@ -131,28 +131,52 @@ def _qgram_hashes(arr: pa.Array, q: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(out_h).view(_I64), np.concatenate(out_r)
 
 
-def tokenize_array(arr: pa.Array, tok: str, q: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize a string array -> (uint64 values, list offsets), sorted-unique per row."""
+def md5_hash_strings(toks: np.ndarray) -> np.ndarray:
+    """Token -> int64 hash equal to DuckDB's ``md5_number_lower`` (digest
+    bytes 8:16, little-endian) — the SQL-reproducible alternative to
+    ``hash_strings`` used by oracle-twinned queries.  Per-token Python by
+    necessity (md5 has no vectorized form here); opt-in via
+    ``hash64="md5"``, never the scale default."""
+    import hashlib
+
+    out = np.empty(toks.size, np.uint64)
+    for i, s in enumerate(toks):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(s).encode("utf-8")).digest()[8:16], "little")
+    return out.view(_I64)
+
+
+def tokenize_array(
+    arr: pa.Array, tok: str, q: int = 3, hash64: str = "pandas"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a string array -> (uint64 values, list offsets), sorted-unique per row.
+
+    ``hash64``: "pandas" (default, fast siphash) or "md5"
+    (= DuckDB md5_number_lower; lets a DuckDB oracle reproduce token
+    identity exactly — set similarities themselves are hash-invariant)."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    hfn = {"pandas": hash_strings, "md5": md5_hash_strings}[hash64]
     n = len(arr)
     if tok == "dlm":
         toks, rows = _split_tokens(arr, "[" + re.escape(DLM_DELIMS) + "]+")
-        hashes = hash_strings(toks)
+        hashes = hfn(toks)
     elif tok == "wspace":
         toks, rows = _split_tokens(arr, " +")
-        hashes = hash_strings(toks)
+        hashes = hfn(toks)
     elif tok == "alphanumeric":
         toks, rows = _split_tokens(arr, "[^a-zA-Z0-9]+")
-        hashes = hash_strings(toks)
+        hashes = hfn(toks)
     elif tok == "qgm":
+        if hash64 != "pandas":
+            raise ValueError("hash64='md5' is not supported for qgm tokens")
         hashes, rows = _qgram_hashes(arr, q)
     else:
         raise ValueError(f"unknown tokenizer {tok!r}")
     return _sorted_unique_by_row(hashes, rows, n)
 
 
-def tokens_list_array(arr: pa.Array, tok: str, q: int = 3) -> pa.ListArray:
-    vals, offsets = tokenize_array(arr, tok, q)
+def tokens_list_array(arr: pa.Array, tok: str, q: int = 3, hash64: str = "pandas") -> pa.ListArray:
+    vals, offsets = tokenize_array(arr, tok, q, hash64)
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()), pa.array(vals, type=pa.int64())
     )

@@ -814,9 +814,37 @@ def q_minhash_lsh_docs(sf_dir: str):
 
 
 def q_simhash_docs(sf_dir: str):
+    """SimHash near-dup pairs, Hamming <= 8.  hash64="md5" makes token
+    identity DuckDB-reproducible (md5_number_lower), and the banded
+    pigeonhole candidates + exact Hamming verify make the OUTPUT equal to
+    brute-force Hamming over signatures — so the oracle below is an exact
+    twin despite the LSH execution path."""
     from ..stages.dedup import simhash_dedup
 
-    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8)
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=8, hash64="md5")
+
+
+# Signature: per distinct alphanumeric token, md5-low-64 hash; bit b of the
+# simhash is sign(sum over tokens of (bit b of hash ? +1 : -1)).  Bit 63
+# contributes -2^63 so the HUGEINT sum is exactly the int64 two's-complement
+# view the Ray side stores.  Tokenless docs get signature 0 via the LEFT JOIN.
+SQL_SIMHASH = """WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS tok
+  FROM documents),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+acc AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, range(64) r(b) GROUP BY doc_id, b),
+sig0 AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN
+           CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+                ELSE (1::BIGINT << b)::HUGEINT END ELSE 0::HUGEINT END) AS BIGINT) AS sh
+         FROM acc GROUP BY doc_id),
+sigs AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+         FROM documents d LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8"""
 
 
 def q_ann_topk(sf_dir: str):
@@ -839,12 +867,17 @@ SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF approximate variant (rows-only: recall<1 is the semantics)."""
+    """IVF variant at FULL probe (nprobe = n_centroids): exercises the whole
+    IVF machinery — centroid training, cell routing, per-cell partial top-k,
+    driver merge — while the exhaustive probe makes the output equal brute
+    force, so the brute-force SQL is an exact oracle.  The approximate
+    (nprobe < n_centroids) path is covered by the probed-subset pytest in
+    tests/test_ann.py."""
     from ..stages.ann import ann_topk_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = [r["vec_id"] for r in emb.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()]
-    return ann_topk_ivf(emb, np.array(qids), k=10)
+    return ann_topk_ivf(emb, np.array(qids), k=10, n_centroids=16, nprobe=16)
 
 
 def q_embed_dup_pairs(sf_dir: str):
@@ -892,11 +925,40 @@ FROM documents"""
 
 
 def q_fingerprint_winnow(sf_dir: str):
-    # rows-only: the 61-bit rolling hash has no SQL twin; pytest holds the
-    # brute-force oracle (tests/test_text.py)
     from ..stages.text import fingerprint_winnow
 
     return fingerprint_winnow(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# The winnow gram hash is a plain polynomial over utf-8 bytes mod 2^61 (the
+# numpy path's per-step uint64 wrap + 61-bit mask equals stepwise mod 2^61,
+# since 2^61 divides 2^64), so DuckDB reproduces it with UHUGEINT stepwise
+# mods over ascii() codepoints.  PRECONDITION: ASCII-only text (codepoint ==
+# utf-8 byte) — holds for the generated documents table; a non-ASCII corpus
+# would diverge byte-wise and needs the Python oracle in tests/test_text.py
+# instead.  Window minima: valid
+# length-8 windows for docs with > 8 grams, else one global min (the Python
+# path's h.size <= w branch); fingerprints dedup per doc.
+SQL_FINGERPRINT_WINNOW = """WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS p
+  FROM documents),
+grams AS (
+  SELECT doc_id, p,
+    ((((((((ascii(substr(text, p::INT, 1))::UHUGEINT * 1000003::UHUGEINT
+        + ascii(substr(text, p::INT + 1, 1))::UHUGEINT) % 2305843009213693952::UHUGEINT) * 1000003::UHUGEINT
+        + ascii(substr(text, p::INT + 2, 1))::UHUGEINT) % 2305843009213693952::UHUGEINT) * 1000003::UHUGEINT
+        + ascii(substr(text, p::INT + 3, 1))::UHUGEINT) % 2305843009213693952::UHUGEINT) * 1000003::UHUGEINT
+        + ascii(substr(text, p::INT + 4, 1))::UHUGEINT) % 2305843009213693952::UHUGEINT) AS h
+  FROM pos),
+wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams)
+SELECT DISTINCT doc_id, m::BIGINT AS fp FROM wins WHERE ng > 8 AND p <= ng - 7
+UNION ALL
+SELECT doc_id, min(h)::BIGINT AS fp FROM grams GROUP BY doc_id HAVING count(*) <= 8"""
 
 
 SQL_TEXT_STATS = """SELECT doc_id,
@@ -1331,7 +1393,9 @@ ORACLES = {
     "tpch_pricing": SQL_TPCH_PRICING,
     "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
-    # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs, simhash_docs,
-    # fingerprint_winnow, embed_dup_pairs_lsh, ic_graph,
-    # ann_topk_ivf, multimodal_decode
+    "simhash_docs": SQL_SIMHASH,
+    "fingerprint_winnow": SQL_FINGERPRINT_WINNOW,
+    "ann_topk_ivf": SQL_ANN_TOPK,
+    # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs,
+    # embed_dup_pairs_lsh, ic_graph, multimodal_decode
 }

@@ -107,7 +107,7 @@ def _perms(n_perm: int, seed: int):
 
 
 def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
-                   num_partitions, seed=42) -> pa.Table:
+                   num_partitions, seed=42, hash64="pandas") -> pa.Table:
     """Stateless minhash-band task (seeded permutations cached per worker).
 
     Emits one row per (doc, band) carrying only the doc's band-hash PREFIX
@@ -123,7 +123,7 @@ def _minhash_bands(t: pa.Table, *, id_col, text_col, tok, q, n_perm, n_bands,
     perm_a, perm_b = _perms(n_perm, seed)
     rows_per_band = n_perm // n_bands
     ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-    vals, offs = tokenize_array(t.column(text_col), tok, q)
+    vals, offs = tokenize_array(t.column(text_col), tok, q, hash64)
     sig = _minhash_batch(vals, offs, perm_a, perm_b)
     n = ids.size
     r = rows_per_band
@@ -301,6 +301,7 @@ def minhash_lsh_dedup(
     docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", tok="alphanumeric",
     q=3, threshold=0.5, n_perm=128, n_bands=32, num_partitions=128,
     broadcast_limit: int = 2_000_000, n_records: int | None = None,
+    seed: int = 42, hash64: str = "pandas",
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard verify.
 
@@ -313,7 +314,8 @@ def minhash_lsh_dedup(
     sigs = docs.map_batches(
         _minhash_bands,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, tok=tok, q=q,
-                       n_perm=n_perm, n_bands=n_bands, num_partitions=num_partitions),
+                       n_perm=n_perm, n_bands=n_bands, num_partitions=num_partitions,
+                       seed=seed, hash64=hash64),
         batch_format="pyarrow",
     )
     cands = sigs.groupby("pb").map_groups(_minhash_pairgen, batch_format="pyarrow")
@@ -322,7 +324,7 @@ def minhash_lsh_dedup(
     def tok_table(t: pa.Table) -> pa.Table:
         from ..functions.tokenize import tokens_list_array
 
-        la = tokens_list_array(t.column(text_col), tok, q)
+        la = tokens_list_array(t.column(text_col), tok, q, hash64)
         return pa.table({"conv_id": t.column(id_col), "toks": la})
 
     toks_ds = docs.map_batches(tok_table, batch_format="pyarrow")
@@ -342,10 +344,11 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(t: pa.Table, id_col: str, text_col: str, tok="alphanumeric", q=3) -> pa.Table:
+def simhash_signatures(t: pa.Table, id_col: str, text_col: str, tok="alphanumeric", q=3,
+                       hash64="pandas") -> pa.Table:
     """64-bit simhash per doc: sign-sum of token-hash bit vectors."""
     ids = t.column(id_col)
-    vals, offs = tokenize_array(t.column(text_col), tok, q)
+    vals, offs = tokenize_array(t.column(text_col), tok, q, hash64)
     n = offs.size - 1
     sig = np.zeros(n, dtype=_U64)
     if vals.size:
@@ -360,7 +363,7 @@ def simhash_signatures(t: pa.Table, id_col: str, text_col: str, tok="alphanumeri
 
 def simhash_dedup(
     docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text", max_hamming=3,
-    num_partitions=32, tok="alphanumeric", q=3,
+    num_partitions=32, tok="alphanumeric", q=3, hash64="pandas",
 ) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming via banded
     pigeonhole LSH + exact Hamming verify.
@@ -376,7 +379,8 @@ def simhash_dedup(
     bit_starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
 
     sigs = docs.map_batches(
-        lambda t: simhash_signatures(t, id_col, text_col, tok, q), batch_format="pyarrow"
+        lambda t: simhash_signatures(t, id_col, text_col, tok, q, hash64),
+        batch_format="pyarrow",
     )
 
     def bands(t: pa.Table) -> pa.Table:
