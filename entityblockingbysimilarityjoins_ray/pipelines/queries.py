@@ -19,6 +19,8 @@ bit-for-bit.  Ranks/counts are ints wherever float ties would be fragile.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -664,8 +666,13 @@ FROM match m JOIN sub a ON m.id1 = a.conv_id JOIN sub b ON m.id2 = b.conv_id"""
 
 
 def q_er_f1_report(sf_dir: str):
-    """Full ER pipeline vs planted gold: one-row metrics (rows-only check —
-    the pipeline itself is the system under test, not SQL-expressible)."""
+    """Full ER pipeline vs planted gold: one-row metrics.  The SQL twin
+    recomputes the ENTIRE pipeline independently — blocking rule union,
+    the six mean-scored features (jac/cos/dice over doc dlm, jac over doc
+    qgm3, jac over head dlm, cos over head qgm3 — the score_cols
+    threshold_match averages with NaN->0), PRF vs the gold parquet, and
+    connected-component cluster count via a recursive CTE.  f1 / recall are
+    emitted unrounded with the same float op order on both sides."""
     from .er import run_pipeline
 
     info = ensure_fixture(sf_dir)
@@ -687,12 +694,116 @@ def q_er_f1_report(sf_dir: str):
         [
             {
                 "match_tp": m["tp"], "match_fp": m["fp"], "match_fn": m["fn"],
-                "match_f1": round(m["f1"], 6),
-                "blocking_recall": round(b["recall"], 6),
+                "match_f1": m["f1"],
+                "blocking_recall": b["recall"],
                 "n_clusters": int(n_clusters),
             }
         ]
     )
+
+
+def _sql_er_f1() -> str:
+    """Independent SQL recomputation of q_er_f1_report's whole pipeline
+    (rules jac>=0.5 / cos>=0.55 on doc dlm + exm on head; threshold match at
+    mean>=0.45 over the six set-sim features; recursive-CTE clustering).
+    PRECONDITION (holds for the fixture): every doc has >= 1 dlm token, so
+    the empty-clique pairs (jac(∅,∅)=1) the Ray join would add are absent."""
+    gp = os.path.join(os.path.dirname(FIXTURE_SQL_PATH), "gold_pairs.parquet")
+    sixth = "* (1.0/6)"
+    return f"""WITH RECURSIVE {_DOCS_CTE},
+toks_d AS (SELECT conv_id, unnest(list_distinct(list_filter(
+  string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM docs),
+sizes_d AS MATERIALIZED (SELECT conv_id, count(*)::BIGINT AS l FROM toks_d GROUP BY conv_id),
+inter_d AS (SELECT a.conv_id AS id1, b.conv_id AS id2, count(*)::BIGINT AS o
+            FROM toks_d a JOIN toks_d b ON a.tok = b.tok AND a.conv_id < b.conv_id
+            GROUP BY 1, 2),
+ps_d AS MATERIALIZED (SELECT i.id1, i.id2, i.o, sa.l AS la, sb.l AS lb FROM inter_d i
+         JOIN sizes_d sa ON i.id1 = sa.conv_id JOIN sizes_d sb ON i.id2 = sb.conv_id),
+cand AS MATERIALIZED (
+  -- NB: top-level UNION inside a CTE body under WITH RECURSIVE gets
+  -- recursive base/step semantics in DuckDB 1.0 (no dedup for
+  -- non-self-referencing CTEs), so dedup explicitly over UNION ALL.
+  SELECT DISTINCT id1, id2 FROM (
+    SELECT id1, id2 FROM ps_d WHERE o * 1.0 / (la + lb - o) >= 0.5
+    UNION ALL
+    SELECT id1, id2 FROM ps_d WHERE o * 1.0 / sqrt(la * lb) >= 0.55
+    UNION ALL
+    SELECT a.conv_id, b.conv_id FROM docs a JOIN docs b
+      ON a.head = b.head AND a.conv_id < b.conv_id)),
+toks_h AS MATERIALIZED (SELECT conv_id, unnest(list_distinct(list_filter(
+  string_split_regex(head, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM docs),
+sizes_h AS MATERIALIZED (SELECT conv_id, count(*)::BIGINT AS l FROM toks_h GROUP BY conv_id),
+runs_dq AS (SELECT conv_id, unnest(list_filter(
+  string_split_regex(doc, '[^a-zA-Z0-9]+'), x -> length(x) >= 3)) AS run FROM docs),
+grams_dq AS MATERIALIZED (SELECT DISTINCT conv_id, substr(run, CAST(i AS INTEGER), 3) AS tok
+             FROM runs_dq, unnest(generate_series(1, length(run) - 2)) AS t(i)),
+sizes_dq AS MATERIALIZED (SELECT conv_id, count(*)::BIGINT AS l FROM grams_dq GROUP BY conv_id),
+runs_hq AS (SELECT conv_id, unnest(list_filter(
+  string_split_regex(head, '[^a-zA-Z0-9]+'), x -> length(x) >= 3)) AS run FROM docs),
+grams_hq AS MATERIALIZED (SELECT DISTINCT conv_id, substr(run, CAST(i AS INTEGER), 3) AS tok
+             FROM runs_hq, unnest(generate_series(1, length(run) - 2)) AS t(i)),
+sizes_hq AS MATERIALIZED (SELECT conv_id, count(*)::BIGINT AS l FROM grams_hq GROUP BY conv_id),
+o_h AS MATERIALIZED (SELECT c.id1, c.id2, count(*)::BIGINT AS o FROM cand c
+        JOIN toks_h a ON a.conv_id = c.id1
+        JOIN toks_h b ON b.conv_id = c.id2 AND b.tok = a.tok GROUP BY 1, 2),
+o_dq AS MATERIALIZED (SELECT c.id1, c.id2, count(*)::BIGINT AS o FROM cand c
+         JOIN grams_dq a ON a.conv_id = c.id1
+         JOIN grams_dq b ON b.conv_id = c.id2 AND b.tok = a.tok GROUP BY 1, 2),
+o_hq AS MATERIALIZED (SELECT c.id1, c.id2, count(*)::BIGINT AS o FROM cand c
+         JOIN grams_hq a ON a.conv_id = c.id1
+         JOIN grams_hq b ON b.conv_id = c.id2 AND b.tok = a.tok GROUP BY 1, 2),
+feats AS MATERIALIZED (
+  SELECT c.id1, c.id2,
+    CASE WHEN COALESCE(sd1.l, 0) = 0 OR COALESCE(sd2.l, 0) = 0 THEN 0.0
+         ELSE COALESCE(pd.o, 0) * 1.0 / (sd1.l + sd2.l - COALESCE(pd.o, 0)) END AS f1,
+    CASE WHEN COALESCE(sd1.l, 0) = 0 OR COALESCE(sd2.l, 0) = 0 THEN 0.0
+         ELSE COALESCE(pd.o, 0) * 1.0 / sqrt(sd1.l * sd2.l) END AS f2,
+    CASE WHEN COALESCE(sd1.l, 0) = 0 OR COALESCE(sd2.l, 0) = 0 THEN 0.0
+         ELSE 2.0 * COALESCE(pd.o, 0) / (sd1.l + sd2.l) END AS f3,
+    CASE WHEN COALESCE(sq1.l, 0) = 0 OR COALESCE(sq2.l, 0) = 0 THEN 0.0
+         ELSE COALESCE(dq.o, 0) * 1.0 / (sq1.l + sq2.l - COALESCE(dq.o, 0)) END AS f4,
+    CASE WHEN COALESCE(sh1.l, 0) = 0 OR COALESCE(sh2.l, 0) = 0 THEN 0.0
+         ELSE COALESCE(oh.o, 0) * 1.0 / (sh1.l + sh2.l - COALESCE(oh.o, 0)) END AS f5,
+    CASE WHEN COALESCE(shq1.l, 0) = 0 OR COALESCE(shq2.l, 0) = 0 THEN 0.0
+         ELSE COALESCE(hq.o, 0) * 1.0 / sqrt(shq1.l * shq2.l) END AS f6
+  FROM cand c
+  LEFT JOIN sizes_d sd1 ON sd1.conv_id = c.id1
+  LEFT JOIN sizes_d sd2 ON sd2.conv_id = c.id2
+  LEFT JOIN sizes_dq sq1 ON sq1.conv_id = c.id1
+  LEFT JOIN sizes_dq sq2 ON sq2.conv_id = c.id2
+  LEFT JOIN sizes_h sh1 ON sh1.conv_id = c.id1
+  LEFT JOIN sizes_h sh2 ON sh2.conv_id = c.id2
+  LEFT JOIN sizes_hq shq1 ON shq1.conv_id = c.id1
+  LEFT JOIN sizes_hq shq2 ON shq2.conv_id = c.id2
+  LEFT JOIN ps_d pd ON pd.id1 = c.id1 AND pd.id2 = c.id2
+  LEFT JOIN o_h oh ON oh.id1 = c.id1 AND oh.id2 = c.id2
+  LEFT JOIN o_dq dq ON dq.id1 = c.id1 AND dq.id2 = c.id2
+  LEFT JOIN o_hq hq ON hq.id1 = c.id1 AND hq.id2 = c.id2),
+matches AS MATERIALIZED (SELECT id1, id2 FROM feats
+            WHERE f1 {sixth} + f2 {sixth} + f3 {sixth}
+                + f4 {sixth} + f5 {sixth} + f6 {sixth} >= 0.45),
+gold AS MATERIALIZED (SELECT id1, id2 FROM read_parquet('{gp}')),
+edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM matches
+          UNION ALL SELECT id2, id1 FROM matches),
+reach(src, dst) AS (
+  SELECT conv_id, conv_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+counts AS (SELECT
+  (SELECT count(*) FROM matches) AS n_pred,
+  (SELECT count(*) FROM matches m JOIN gold g ON m.id1 = g.id1 AND m.id2 = g.id2) AS tp,
+  (SELECT count(*) FROM gold) AS ng,
+  (SELECT count(*) FROM cand c JOIN gold g ON c.id1 = g.id1 AND c.id2 = g.id2) AS btp,
+  (SELECT count(DISTINCT e) FROM
+     (SELECT src, min(dst) AS e FROM reach GROUP BY src)) AS n_clusters)
+SELECT tp::BIGINT AS match_tp, (n_pred - tp)::BIGINT AS match_fp,
+       (ng - tp)::BIGINT AS match_fn,
+       CASE WHEN tp = 0 THEN 0.0 ELSE
+         2 * (tp * 1.0 / n_pred) * (tp * 1.0 / ng)
+           / ((tp * 1.0 / n_pred) + (tp * 1.0 / ng)) END AS match_f1,
+       btp * 1.0 / ng AS blocking_recall,
+       n_clusters::BIGINT AS n_clusters
+FROM counts"""
 
 
 # ---------------------------------------------------------------------------
@@ -802,15 +913,60 @@ def q_ic_graph(sf_dir: str):
 
 
 def q_minhash_lsh_docs(sf_dir: str):
-    """MinHash-LSH near-dup candidates, exact-verified (rows-only check:
-    LSH recall < 1 by construction, so no exact SQL twin)."""
+    """MinHash-LSH near-dup pairs, exact-verified.  LSH recall < 1, but the
+    OUTPUT is still deterministic given the seeded permutations: pairs that
+    agree on >= 1 of the 32 band signatures AND have exact token-jaccard >=
+    threshold.  With hash64="md5" the SQL twin below reproduces the band
+    signatures (min of (h*a+b) mod 2^64 per seeded perm) and the verify
+    exactly.  Exposure: a 64-bit band-hash collision could ADD a candidate
+    on the Ray side only (same odds the implementation documents).
+    PRECONDITION: every doc has >= 1 alphanumeric token (holds for the
+    generated documents table); tokenless docs band-agree with each other on
+    the Ray side but vanish from the SQL toks CTE."""
     from ..stages.dedup import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    out = minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            threshold=0.5, hash64="md5")
     return out.map_batches(
         lambda df: df.astype({"id1": np.int64, "id2": np.int64}) if len(df) else df,
         batch_format="pandas",
     )
+
+
+def _sql_minhash(n_perm: int = 128, n_bands: int = 32, seed: int = 42,
+                 threshold: float = 0.5) -> str:
+    """Compose the minhash oracle with the SAME seeded perm constants the
+    Ray path caches (dedup._perms)."""
+    from ..stages.dedup import _perms
+
+    a, b = _perms(n_perm, seed)
+    r = n_perm // n_bands
+    vals = ",\n  ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(n_perm))
+    return f"""WITH perms(i, a, b) AS (VALUES
+  {vals}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS tok
+  FROM documents),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+mh AS (SELECT doc_id, i,
+              min((h::UHUGEINT * a::UHUGEINT + b::UHUGEINT)
+                  % 18446744073709551616::UHUGEINT) AS mn
+       FROM th, perms GROUP BY doc_id, i),
+bs AS (SELECT doc_id, i // {r} AS band, array_agg(mn ORDER BY i) AS sig
+       FROM mh GROUP BY doc_id, i // {r}),
+cands AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+          FROM bs x JOIN bs y
+            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS l FROM th GROUP BY doc_id),
+inter AS (SELECT c.id1, c.id2, count(*)::BIGINT AS o
+          FROM cands c
+          JOIN th a ON a.doc_id = c.id1
+          JOIN th b ON b.doc_id = c.id2 AND a.h = b.h
+          GROUP BY c.id1, c.id2)
+SELECT i.id1, i.id2, i.o * 1.0 / (sa.l + sb.l - i.o) AS sim
+FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id JOIN sizes sb ON i.id2 = sb.doc_id
+WHERE i.o * 1.0 / (sa.l + sb.l - i.o) >= {threshold}"""
 
 
 def q_simhash_docs(sf_dir: str):
@@ -1396,6 +1552,8 @@ ORACLES = {
     "simhash_docs": SQL_SIMHASH,
     "fingerprint_winnow": SQL_FINGERPRINT_WINNOW,
     "ann_topk_ivf": SQL_ANN_TOPK,
-    # rows-only (no SQL twin): er_f1_report, minhash_lsh_docs,
-    # embed_dup_pairs_lsh, ic_graph, multimodal_decode
+    "minhash_lsh_docs": _sql_minhash(),
+    "er_f1_report": _sql_er_f1(),
+    # rows-only (no SQL twin): embed_dup_pairs_lsh, ic_graph,
+    # multimodal_decode, sample_down, group_values
 }

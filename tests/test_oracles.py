@@ -62,6 +62,8 @@ ORACLE_NAMES = [
     "block_fused_union", "block_dice", "block_jac_weighted_rs", "token_df_qgram",
     "events_sessionize", "events_asof", "events_in_sessions",
     "tpch_pricing", "tpch_top_customers",
+    "simhash_docs", "fingerprint_winnow", "ann_topk_ivf",
+    "minhash_lsh_docs", "er_f1_report",
 ]
 
 
@@ -77,9 +79,8 @@ def test_query_matches_oracle(contract, con, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
-ROWS_ONLY = ["er_f1_report", "minhash_lsh_docs", "simhash_docs", "ann_topk_ivf",
-             "multimodal_decode", "sample_down", "group_values",
-             "fingerprint_winnow", "embed_dup_pairs_lsh", "ic_graph"]
+ROWS_ONLY = ["multimodal_decode", "sample_down", "group_values",
+             "embed_dup_pairs_lsh", "ic_graph"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
