@@ -69,6 +69,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # candidate gen + exact verify for its bucket, so fine partitions are the
     # straggler control (swept at sf0.1: 2048 beats 256 by ~1.6x at 32 cpus)
     pair_parts = max(256, num_cpus * 64)
+    # GRAFT_BROADCAST_LIMIT=0 forces every broadcast-or-hash_join switch onto
+    # the join path — the beyond-broadcast family a 100 TB run actually takes
+    bl = os.environ.get("GRAFT_BROADCAST_LIMIT")
+    bl_kw = (
+        {"broadcast_limit": int(bl), "broadcast_bytes_limit": int(bl)}
+        if bl is not None else {}
+    )
     cfg = PipelineConfig(
         num_buckets=max(32, num_cpus * 2),
         pair_partitions=pair_parts,
@@ -78,6 +85,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             BlockingRule("head", "exm"),
         ],
         match_threshold=0.45,
+        **bl_kw,
     )
 
     queries: dict[str, float] = {}
@@ -102,6 +110,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     minhash_lsh_dedup(
         read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         threshold=0.5,
+        **({"broadcast_limit": int(bl)} if bl is not None else {}),
     ).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 
@@ -136,6 +145,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "turns_per_sec": round(n_turns / queries["er_pipeline"], 1),
         "match_f1": round(m.get("f1", 0.0), 5),
         "blocking_recall": round(res["metrics"].get("blocking_prf", {}).get("recall", 0.0), 5),
+        **({"broadcast_limit": int(bl)} if bl is not None else {}),
     }
 
 

@@ -101,8 +101,19 @@ def _docs(sf_dir: str, subset: bool):
     return canonicalize(t, num_buckets=32)
 
 
+def _broadcast_limit_env() -> int | None:
+    """GRAFT_BROADCAST_LIMIT=0 forces every broadcast-or-hash_join switch
+    onto the join path (the beyond-broadcast 100x-scale path) so the driver
+    oracle gate and the bench can exercise it end-to-end."""
+    v = os.environ.get("GRAFT_BROADCAST_LIMIT")
+    return int(v) if v is not None else None
+
+
 def _cfg(**kw) -> PipelineConfig:
     base = dict(num_buckets=32, pair_partitions=32)
+    bl = _broadcast_limit_env()
+    if bl is not None:
+        base.update(broadcast_limit=bl, broadcast_bytes_limit=bl)
     base.update(kw)
     return PipelineConfig(**base)
 
@@ -594,12 +605,51 @@ ORDER BY score DESC, i.id1, i.id2 LIMIT 50"""
 
 
 def q_sample_down(sf_dir: str):
-    """Down-sampling training candidates (DownSampler::sample semantics;
-    rows-only: the sample is seeded-random by design, no SQL twin)."""
+    """Down-sampling training candidates (DownSampler::sample semantics).
+    Seeded-random but DETERMINISTIC: with id_hash64="md5" the probe picks
+    (splitmix of the md5 id hash vs the frac cutoff) and the per-token
+    hot-list cap order are md5-reproducible, so the SQL twin replays the
+    exact sample.  Exposure: a 64-bit pandas token-hash collision could
+    merge two inverted lists on the Ray side only (~2^-64, documented)."""
     from ..stages.sampler import down_sample
 
     d = _docs(sf_dir, subset=True).materialize()
-    return down_sample(d, attr="doc", n=400, y=20, cfg=_cfg())
+    return down_sample(d, attr="doc", n=400, y=20, cfg=_cfg(), id_hash64="md5")
+
+
+def _sql_sample_down(n: int = 400, y: int = 20, seed: int = 42,
+                     max_list: int = 200) -> str:
+    """SQL twin of q_sample_down: same splitmix-style probe pick over
+    md5_number_lower(conv_id), same (side, id-hash) capped inverted lists,
+    probes x full list, canonical distinct pairs."""
+    seedmix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    c1 = 0xBF58476D1CE4E5B9
+    two64 = 1 << 64
+    n_probes = max(1, n // y)
+    return f"""WITH {_DOCS_CTE}, {_SUB_CTE}, {_TOKS_CTE},
+cut AS (SELECT CAST(trunc(least(1.0, {n_probes}.0 / greatest(count(*), 1))
+                          * 9223372036854775807.0) AS UBIGINT) * 2 AS c FROM sub),
+picked AS (
+  SELECT conv_id, mh,
+         xor(m2, m2 >> 27) < (SELECT c FROM cut) AS is_probe
+  FROM (
+    SELECT conv_id, mh,
+           CAST((xor(s, s >> 30)::UHUGEINT * {c1}::UHUGEINT)
+                % {two64}::UHUGEINT AS UBIGINT) AS m2
+    FROM (SELECT conv_id, mh, xor(mh, {seedmix}::UBIGINT) AS s
+          FROM (SELECT conv_id, md5_number_lower(conv_id) AS mh FROM sub)))),
+ranked AS (
+  SELECT t.tok, t.conv_id, p.is_probe,
+         row_number() OVER (PARTITION BY t.tok
+                            ORDER BY (CASE WHEN p.is_probe THEN 0 ELSE 1 END),
+                                     p.mh) AS rn
+  FROM toks t JOIN picked p ON t.conv_id = p.conv_id),
+capped AS (SELECT * FROM ranked WHERE rn <= {max_list})
+SELECT DISTINCT
+  CASE WHEN a.conv_id < b.conv_id THEN a.conv_id ELSE b.conv_id END AS id1,
+  CASE WHEN a.conv_id < b.conv_id THEN b.conv_id ELSE a.conv_id END AS id2
+FROM capped a JOIN capped b
+  ON a.tok = b.tok AND a.is_probe AND a.conv_id <> b.conv_id"""
 
 
 def q_cluster_jac(sf_dir: str):
@@ -806,9 +856,98 @@ SELECT tp::BIGINT AS match_tp, (n_pred - tp)::BIGINT AS match_fp,
 FROM counts"""
 
 
+def q_rule_recall(sf_dir: str):
+    """Per-rule + per-passed-count recall table (Block::getRecall4Rules,
+    cpp/blocker/block.cc:325-399): each rule's pair set vs gold, plus the
+    union's exactly-i-rules buckets vs gold.  Gold broadcasts; all counts
+    are map_batches partial sums (nothing collected)."""
+    from ..stages.matcher import rule_recall_report
+    from .er import union_rules
+
+    info = ensure_fixture(sf_dir)
+    gold = pd.read_parquet(info["gold_pairs"])
+    d = _docs(sf_dir, subset=False).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    cfg = _cfg()
+    jac = B.setsim_self_join(toks, sim="jac", threshold=0.5, cfg=cfg).materialize()
+    cos = B.setsim_self_join(toks, sim="cos", threshold=0.55, cfg=cfg).materialize()
+    exm = B.exact_self_join(d, "head", cfg).materialize()
+    union = union_rules([jac, cos, exm], cfg)
+    return rule_recall_report(
+        {"doc_jac_dlm": jac, "doc_cos_dlm": cos, "head_exm": exm}, union, gold)
+
+
+def _sql_rule_recall() -> str:
+    """SQL twin of q_rule_recall over the same fixture + gold parquet.
+    Same empty-clique precondition as _sql_er_f1 (every doc has a dlm
+    token).  recall is tp*1.0/n_gold on both sides (identical IEEE op)."""
+    gp = os.path.join(os.path.dirname(FIXTURE_SQL_PATH), "gold_pairs.parquet")
+    return f"""WITH {_DOCS_CTE},
+toks_d AS (SELECT conv_id, unnest(list_distinct(list_filter(
+  string_split_regex(doc, '{_DLM_RE_SQL}'), x -> x <> ''))) AS tok FROM docs),
+sizes_d AS (SELECT conv_id, count(*)::BIGINT AS l FROM toks_d GROUP BY conv_id),
+inter_d AS MATERIALIZED (
+  SELECT a.conv_id AS id1, b.conv_id AS id2, count(*)::BIGINT AS o
+  FROM toks_d a JOIN toks_d b ON a.tok = b.tok AND a.conv_id < b.conv_id
+  GROUP BY 1, 2),
+ps_d AS MATERIALIZED (
+  SELECT i.id1, i.id2, i.o, sa.l AS la, sb.l AS lb FROM inter_d i
+  JOIN sizes_d sa ON i.id1 = sa.conv_id JOIN sizes_d sb ON i.id2 = sb.conv_id),
+tagged AS MATERIALIZED (
+  SELECT 'rule:doc_jac_dlm' AS key, id1, id2 FROM ps_d
+    WHERE o * 1.0 / (la + lb - o) >= 0.5
+  UNION ALL
+  SELECT 'rule:doc_cos_dlm', id1, id2 FROM ps_d
+    WHERE o * 1.0 / sqrt(la * lb) >= 0.55
+  UNION ALL
+  SELECT 'rule:head_exm', a.conv_id, b.conv_id FROM docs a JOIN docs b
+    ON a.head = b.head AND a.conv_id < b.conv_id),
+gold AS MATERIALIZED (SELECT id1, id2 FROM read_parquet('{gp}')),
+ng AS (SELECT count(*)::BIGINT AS n FROM gold),
+per_rule AS (
+  SELECT t.key, count(*)::BIGINT AS n_pairs,
+         count(g.id1)::BIGINT AS tp
+  FROM tagged t LEFT JOIN gold g ON t.id1 = g.id1 AND t.id2 = g.id2
+  GROUP BY t.key),
+counts AS (
+  SELECT id1, id2, count(*)::BIGINT AS pr FROM tagged GROUP BY id1, id2),
+per_count AS (
+  SELECT 'count:' || pr::VARCHAR AS key, count(*)::BIGINT AS n_pairs,
+         count(g.id1)::BIGINT AS tp
+  FROM counts c LEFT JOIN gold g ON c.id1 = g.id1 AND c.id2 = g.id2
+  GROUP BY pr)
+SELECT key, n_pairs, tp, tp * 1.0 / (SELECT n FROM ng) AS recall FROM per_rule
+UNION ALL
+SELECT key, n_pairs, tp, tp * 1.0 / (SELECT n FROM ng) AS recall FROM per_count"""
+
+
 # ---------------------------------------------------------------------------
 # testdata-table queries (documents / embeddings / events views)
 # ---------------------------------------------------------------------------
+
+
+def q_er_zeroer(sf_dir: str):
+    """Unsupervised ZeroER matcher (reference matcher/zero_er) over the
+    jac-blocking candidates' six set-sim features on the subset fixture:
+    EM fits driver-side on the bounded pair set, scoring streams through
+    the actor pool, and the positive-labeled pairs are returned.
+    Rows-only: an EM fixed point is not SQL-expressible."""
+    from ..stages.features import DEFAULT_FEATURES, extract_features
+    from ..stages.zeroer import zeroer_match
+
+    d = _docs(sf_dir, subset=True).materialize()
+    toks = B.tokenize_docs(d, "doc", "dlm").materialize()
+    pairs = B.setsim_self_join(toks, sim="jac", threshold=0.4, cfg=_cfg())
+    feats = extract_features(pairs, d, DEFAULT_FEATURES)
+    cols = [s.name for s in DEFAULT_FEATURES]
+    out = zeroer_match(feats, cols)
+
+    def pos(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("label"), 1)).select(["id1", "id2"])
+
+    return out.map_batches(pos, batch_format="pyarrow")
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -925,8 +1064,10 @@ def q_minhash_lsh_docs(sf_dir: str):
     the Ray side but vanish from the SQL toks CTE."""
     from ..stages.dedup import minhash_lsh_dedup
 
+    bl = _broadcast_limit_env()
     out = minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                            threshold=0.5, hash64="md5")
+                            threshold=0.5, hash64="md5",
+                            **({"broadcast_limit": bl} if bl is not None else {}))
     return out.map_batches(
         lambda df: df.astype({"id1": np.int64, "id2": np.int64}) if len(df) else df,
         batch_format="pandas",
@@ -1051,14 +1192,17 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_embed_dup_pairs_lsh(sf_dir: str):
-    """Distributed LSH near-dup mode (rows-only: recall<1 is the semantics;
-    pytest holds the LSH⊆bruteforce + exact-precision oracle; broadcast_limit=0
-    forces the join-path verify so the run exercises the never-collect scale
-    path)."""
+    """Distributed banded LSH near-dup mode (rows-only: recall<1 is the
+    semantics; pytest holds the LSH⊆bruteforce + exact-precision oracle;
+    broadcast_limit=0 forces the join-path verify so the run exercises the
+    never-collect scale path).  threshold 0.4 is LOW for hyperplane LSH, so
+    the bands are short-and-many (24 x 6 => ~0.8 recall at theta ~66 deg;
+    the 32 x 16 default targets the usual >= 0.95 near-dup regime)."""
     from ..stages.dedup import embedding_dup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_dup_pairs(emb, threshold=0.4, mode="lsh", broadcast_limit=0)
+    out = embedding_dup_pairs(emb, threshold=0.4, mode="lsh", broadcast_limit=0,
+                              n_bands=24, band_bits=6)
     return out.select_columns(["id1", "id2"])
 
 
@@ -1487,6 +1631,8 @@ QUERIES = {
     "cluster_jac": q_cluster_jac,
     "megallen_wide": q_megallen_wide,
     "er_f1_report": q_er_f1_report,
+    "rule_recall": q_rule_recall,
+    "er_zeroer": q_er_zeroer,
     "dedup_exact_docs": q_dedup_exact_docs,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_token_jac_docs": q_dedup_token_jac_docs,
@@ -1554,6 +1700,8 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_TOPK,
     "minhash_lsh_docs": _sql_minhash(),
     "er_f1_report": _sql_er_f1(),
+    "rule_recall": _sql_rule_recall(),
+    "sample_down": _sql_sample_down(),
     # rows-only (no SQL twin): embed_dup_pairs_lsh, ic_graph,
-    # multimodal_decode, sample_down, group_values
+    # multimodal_decode, group_values, er_zeroer
 }

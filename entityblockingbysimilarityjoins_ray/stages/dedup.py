@@ -474,7 +474,8 @@ def _embedding_dim(emb: "ray.data.Dataset", vec_col: str) -> int:
 
 def embedding_dup_pairs(
     emb: "ray.data.Dataset", *, id_col="vec_id", vec_col="embedding",
-    threshold=0.95, mode="bruteforce", num_partitions=32, n_planes=16, seed=42,
+    threshold=0.95, mode="bruteforce", num_partitions=32, seed=42,
+    n_bands=32, band_bits=16,
     broadcast_limit: int = 2_000_000, n_records: int | None = None,
 ) -> "ray.data.Dataset":
     """Pairs with cosine >= threshold.
@@ -483,13 +484,22 @@ def embedding_dup_pairs(
       numpy matmul per batch row-block against the full matrix (the oracle
       path; O(n^2) flops but C-speed, fine to ~100k vectors; collects the
       matrix on the driver BY DESIGN).
-    mode='lsh': fully DISTRIBUTED scale path — only the (d x n_planes)
-      hyperplane matrix is broadcast; signs/keys are computed per batch in
-      map_batches, candidate pairs come from a bucket groupby, and the exact
-      cosine verify runs through the broadcast-or-hash_join switch, so the
-      embedding matrix is never collected on the driver above
-      ``broadcast_limit``.  Recall < 1 (random-hyperplane LSH), documented;
-      precision exact."""
+    mode='lsh': fully DISTRIBUTED scale path — only the
+      (d x n_bands*band_bits) hyperplane matrix is broadcast; per-band sign
+      keys are computed per batch in map_batches, candidate pairs come from
+      per-(band, key) bucket groupbys OR-ed across bands (banded
+      random-hyperplane LSH), cross-band duplicates collapse in an int-keyed
+      ``dedupe_pairs`` shuffle, and the exact cosine verify runs through the
+      broadcast-or-hash_join switch — the embedding matrix is never
+      collected on the driver above ``broadcast_limit``.
+
+      Recall = 1 - (1 - p^band_bits)^n_bands with p = 1 - theta/pi
+      (< 1 by construction, precision exact via the verify).  The defaults
+      (32 bands x 16 bits) give >= 0.999 recall at cosine 0.95 while
+      keeping 2^16 key values per band; LOW thresholds need shorter bands
+      (e.g. band_bits=6, n_bands=24 => ~0.8 recall at cosine 0.4) at the
+      cost of coarser buckets — band_bits should stay >= ~log2(n/2000) so
+      average buckets clear the hot-bucket cap."""
     if mode == "bruteforce":
         from .verify import collect_arrow
 
@@ -519,11 +529,16 @@ def embedding_dup_pairs(
             block_fn, batch_format="pyarrow", batch_size=1024
         )
 
-    # ---- LSH mode: distributed signing + broadcast-or-join verify ---------
+    # ---- LSH mode: distributed banded signing + broadcast-or-join verify --
     dim = _embedding_dim(emb, vec_col)
     rng = np.random.default_rng(seed)
-    planes_ref = ray.put(rng.normal(size=(dim, n_planes)))
-    bit_weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    planes_ref = ray.put(rng.normal(size=(dim, n_bands * band_bits)))
+    bit_weights = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+    # band-salted key: per-band buckets live in disjoint key spaces so one
+    # "key" groupby handles all bands (a cross-band mixed-key collision can
+    # only ADD a candidate, which the exact verify kills)
+    band_salt = (np.arange(n_bands, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
 
     def sign_batch(t: pa.Table) -> pa.Table:
         ids_b = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
@@ -536,19 +551,23 @@ def embedding_dup_pairs(
         P = get_broadcast(planes_ref)
         M = _vec_matrix(t.column(vec_col), len(ids_b))
         # sign(v @ P) is scale-invariant — no per-row normalization needed
-        key = ((M @ P) > 0).astype(np.int64) @ bit_weights
+        bits = ((M @ P) > 0).reshape(len(ids_b), n_bands, band_bits)
+        key = (bits.astype(np.int64) @ bit_weights) ^ band_salt  # (n, n_bands)
         return pa.table({
-            "pb": pa.array(bucket_of(key, num_partitions), pa.int32()),
-            "key": pa.array(key, pa.int64()),
-            "id": pa.array(ids_b),
+            "pb": pa.array(bucket_of(key.ravel(), num_partitions), pa.int32()),
+            "key": pa.array(key.ravel(), pa.int64()),
+            "id": pa.array(np.repeat(ids_b, n_bands)),
         })
 
     sigs = emb.map_batches(sign_batch, batch_format="pyarrow")
-    # one key per doc -> each candidate pair is generated exactly once; no
-    # global pair-dedup shuffle needed
     cands = sigs.groupby("pb").map_groups(
         lambda g: _candidate_pairs_from_keys(g.drop(columns=["pb"])), batch_format="pandas"
     )
+    # a pair can surface from several agreeing bands -> int-keyed dedup
+    # shuffle before the (more expensive) cosine verify
+    from .blocking import dedupe_pairs
+
+    cands = dedupe_pairs(cands, num_partitions)
 
     if n_records is None:
         n_records = emb.count()

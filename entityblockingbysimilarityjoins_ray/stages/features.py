@@ -246,6 +246,18 @@ def extract_features(
     object-store ref fetched once per worker) or via two hash-partitioned
     ``hash_join`` shuffles (the unbounded-scale path — no full-corpus driver
     materialization; mirrors verify_pairs' switch)."""
+    slow = [s.name for s in specs if s.sim in ("jw", "me")]
+    if slow:
+        import logging
+
+        # jaro_winkler_batch / monge_elkan_batch are per-pair Python kernels
+        # (the reference's are per-pair C++, sim_func.cc) — fine as
+        # post-matcher features on bounded pair sets, but on a large
+        # candidate set they dominate the feature stage
+        logging.getLogger(__name__).warning(
+            "extract_features: %s use per-pair (non-vectorized) kernels — "
+            "expect them to dominate feature time on large candidate sets; "
+            "prefer set-sim features for blocking-scale inputs", slow)
     cols = sorted({"conv_id"} | {s.attr for s in specs})
     feat_cols = docs.select_columns(cols).map_batches(
         _feature_columns, fn_kwargs={"specs": list(specs)}, batch_format="pyarrow"

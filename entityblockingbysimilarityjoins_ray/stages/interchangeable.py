@@ -372,8 +372,136 @@ class PretrainedEmbedder(ValueEmbedder):
         self.dim = int(dim)
         return self
 
+    # -- fastText native .bin (subword model) --------------------------------
+
+    _FT_MAGIC = 793712314
+
+    @staticmethod
+    def _ft_hash(data: bytes) -> int:
+        """fastText's FNV-1a over SIGNED chars (dictionary.cc hash())."""
+        h = 2166136261
+        for b in data:
+            if b >= 128:
+                b -= 256
+            h = (h ^ (b & 0xFFFFFFFF)) * 16777619 & 0xFFFFFFFF
+        return h
+
+    @classmethod
+    def _ft_subword_hashes(cls, word: str, minn: int, maxn: int,
+                           bucket: int) -> list[int]:
+        """Char n-gram bucket ids of ``<word>`` (BOW/EOW-wrapped), the
+        dictionary.cc computeSubwords() walk: UTF-8 continuation bytes
+        extend the current char, 1-grams touching either boundary are
+        skipped, the full wrapped word IS an n-gram when it fits maxn."""
+        data = ("<" + word + ">").encode("utf-8")
+        out: list[int] = []
+        L = len(data)
+        for i in range(L):
+            if (data[i] & 0xC0) == 0x80:
+                continue
+            j, n = i, 1
+            while j < L and n <= maxn:
+                j += 1
+                while j < L and (data[j] & 0xC0) == 0x80:
+                    j += 1
+                if n >= minn and not (n == 1 and (i == 0 or j == L)):
+                    out.append(cls._ft_hash(data[i:j]) % bucket)
+                n += 1
+        return out
+
+    def load_fasttext_bin(self, path: str) -> "PretrainedEmbedder":
+        """Load a NATIVE fastText ``.bin`` (the subword model the reference
+        feeds to ``fasttext.load_model``, value_matcher/fasttext.py:22-33)
+        with numpy only, from the public file format: int32 magic+version,
+        the Args block, the Dictionary block (NUL-terminated words +
+        int64 count + int8 type), a quant flag, then the input matrix
+        (int64 m, int64 n, m*n float32) whose first nwords rows are word
+        vectors and remaining ``bucket`` rows are char-n-gram vectors.
+        Each vocabulary word's vector is the MEAN of its own input row and
+        its subword-bucket rows (fasttext.cc getWordVector)."""
+        import struct
+
+        with open(path, "rb") as f:
+            magic, version = struct.unpack("<ii", f.read(8))
+            if magic != self._FT_MAGIC:
+                raise ValueError(f"not a fastText .bin (magic {magic})")
+            if version > 12:
+                raise ValueError(f"unsupported fastText version {version}")
+            (dim, _ws, _epoch, _min_count, _neg, _word_ngrams, _loss, _model,
+             bucket, minn, maxn, _lr_update) = struct.unpack("<12i", f.read(48))
+            (_t,) = struct.unpack("<d", f.read(8))
+
+            size, nwords, _nlabels = struct.unpack("<iii", f.read(12))
+            _ntokens, pruneidx_size = struct.unpack("<qq", f.read(16))
+            words: list[str] = []
+            for _ in range(size):
+                chars = bytearray()
+                while True:
+                    ch = f.read(1)
+                    if not ch:
+                        raise ValueError("truncated fastText dictionary")
+                    if ch == b"\x00":
+                        break
+                    chars.extend(ch)
+                f.read(9)  # int64 count + int8 entry type
+                words.append(chars.decode("utf-8"))
+            pruneidx: dict[int, int] = {}
+            for _ in range(max(pruneidx_size, 0)):
+                k, v = struct.unpack("<ii", f.read(8))
+                pruneidx[k] = v
+
+            (quant,) = struct.unpack("<?", f.read(1))
+            if quant:
+                raise ValueError("quantized fastText models are not supported")
+            m, n = struct.unpack("<qq", f.read(16))
+            buf = f.read(4 * m * n)
+            if len(buf) != 4 * m * n:
+                raise ValueError("truncated fastText input matrix")
+            data = np.frombuffer(buf, "<f4").reshape(m, n)
+
+        self._ft_input = data.astype(np.float64)
+        self._ft_nwords = nwords
+        self._ft_bucket = bucket
+        self._ft_minn, self._ft_maxn = minn, maxn
+        self._ft_pruneidx = pruneidx
+
+        vecs = np.empty((nwords, dim), np.float64)
+        for i, w in enumerate(words[:nwords]):
+            vecs[i] = self._ft_word_vector(w, word_row=i)
+        self.vocab = pd.Index(words[:nwords])
+        self.vectors = vecs
+        self.dim = int(dim)
+        return self
+
+    def _ft_word_vector(self, word: str, word_row: int | None = None) -> np.ndarray:
+        """Mean of the word's own input row (in-vocab only) and its subword
+        rows — also serves OOV words (word_row=None), fastText's headline
+        capability over word2vec."""
+        rows: list[int] = []
+        if word_row is not None:
+            rows.append(word_row)
+        if self._ft_maxn >= self._ft_minn and self._ft_minn > 0 and word != "</s>":
+            for h in self._ft_subword_hashes(word, self._ft_minn, self._ft_maxn,
+                                             self._ft_bucket):
+                if self._ft_pruneidx:
+                    if h in self._ft_pruneidx:
+                        rows.append(self._ft_nwords + self._ft_pruneidx[h])
+                else:
+                    rows.append(self._ft_nwords + h)
+        if not rows:
+            return np.zeros(self._ft_input.shape[1])
+        return self._ft_input[rows].mean(axis=0)
+
+    def oov_vector(self, word: str) -> np.ndarray:
+        """Subword-composed vector for an out-of-vocabulary word (requires a
+        load_fasttext_bin model)."""
+        if not hasattr(self, "_ft_input"):
+            raise ValueError("oov_vector needs a native fastText .bin model")
+        return self._ft_word_vector(word, word_row=None)
+
     def train(self, values: np.ndarray) -> "PretrainedEmbedder":
-        raise NotImplementedError("pre-trained embedder: load_glove/load_word2vec")
+        raise NotImplementedError(
+            "pre-trained embedder: load_glove/load_word2vec/load_fasttext_bin")
 
 
 def group_values_trained(

@@ -504,26 +504,18 @@ def pairwise_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
     }
 
 
-def distributed_prf(pred: "ray.data.Dataset", gold: pd.DataFrame) -> dict:
-    """precision/recall/F1 of a DISTRIBUTED predicted pair Dataset vs a
-    (small-by-construction) gold pair frame, both id1 < id2.
-
-    The predicted set is NEVER collected on the driver: the gold pairs
-    broadcast once as a hash Index (exact string membership, no 64-bit
-    collision exposure) and each batch contributes a (tp, n) partial sum —
-    SURVEY §2.6's "recall = inner join pred⨝gold + count" as one
-    map_batches + Sum, so the metric path holds at 100 TB where the old
-    to_pandas() collect of the candidate set was a driver OOM.
-
-    Precondition (same as pairwise_prf's set semantics): ``pred`` rows are
-    distinct pairs — true for the blocking union and the match table by
-    construction (dedupe_pairs)."""
+def _gold_key_ref(gold: pd.DataFrame):
+    """Broadcast the (small) gold pair set once as a string-keyed Index."""
     gkeys = pd.Index(
         gold["id1"].astype(str).to_numpy(object)
         + "\x00" + gold["id2"].astype(str).to_numpy(object)
     )
-    n_gold = int(gkeys.size)
-    gref = ray.put(gkeys)
+    return ray.put(gkeys), int(gkeys.size)
+
+
+def _pair_gold_counts(pred: "ray.data.Dataset", gref) -> tuple[int, int]:
+    """(tp, n_pred) of a distributed pair Dataset vs the broadcast gold
+    Index — one map_batches partial sum, nothing collected."""
 
     def part(t: pa.Table) -> pa.Table:
         from ..functions.hashing import get_broadcast
@@ -540,6 +532,77 @@ def distributed_prf(pred: "ray.data.Dataset", gold: pd.DataFrame) -> dict:
     # Dataset.sum returns None on an empty dataset
     tp = int((sums or {}).get("sum(tp)") or 0)
     n_pred = int((sums or {}).get("sum(n)") or 0)
+    return tp, n_pred
+
+
+def rule_recall_report(
+    rule_pairs: dict[str, "ray.data.Dataset"],
+    candidates: "ray.data.Dataset | None",
+    gold: pd.DataFrame,
+) -> pd.DataFrame:
+    """Per-rule recall table — ``Block::getRecall4Rules``
+    (cpp/blocker/block.cc:325-399) rebuilt distributed.
+
+    Two row families, keyed by ``key``:
+
+    - ``rule:<name>``: each rule's own pair set vs gold (the per-rule
+      debugging view the reference prints per rule file entry);
+    - ``count:<i>``: the reference's inverted buckets — candidate pairs
+      passing EXACTLY i rules ("without previous", block.cc:365-391) vs
+      gold, from the union's ``passed_rules`` column.
+
+    Gold broadcasts once; every count is a map_batches partial sum plus a
+    #distinct-counts-sized groupby — neither the rule pair sets nor the
+    candidate union is ever collected."""
+    gref, n_gold = _gold_key_ref(gold)
+    rows = []
+    for name, ds in rule_pairs.items():
+        tp, n = _pair_gold_counts(ds, gref)
+        rows.append({"key": f"rule:{name}", "n_pairs": n, "tp": tp,
+                     "recall": tp * 1.0 / n_gold if n_gold else 0.0})
+
+    if candidates is not None:
+        def part(t: pa.Table) -> pa.Table:
+            from ..functions.hashing import get_broadcast
+
+            gk = get_broadcast(gref)
+            df = t.select(["id1", "id2", "passed_rules"]).to_pandas()
+            keys = (df["id1"].astype(str) + "\x00" + df["id2"].astype(str))
+            df["tp"] = (gk.get_indexer(keys.to_numpy(object)) >= 0).astype(np.int64)
+            g = df.groupby("passed_rules", sort=False).agg(
+                n_pairs=("tp", "size"), tp=("tp", "sum")).reset_index()
+            return pa.table({
+                "passed_rules": pa.array(g["passed_rules"].astype(np.int64)),
+                "n_pairs": pa.array(g["n_pairs"].astype(np.int64)),
+                "tp": pa.array(g["tp"].astype(np.int64)),
+            })
+
+        agg = (candidates.map_batches(part, batch_format="pyarrow")
+               .groupby("passed_rules").sum(["n_pairs", "tp"]))
+        for r in sorted(agg.take_all(), key=lambda r: r["passed_rules"]):
+            tp = int(r["sum(tp)"])
+            rows.append({"key": f"count:{int(r['passed_rules'])}",
+                         "n_pairs": int(r["sum(n_pairs)"]), "tp": tp,
+                         "recall": tp * 1.0 / n_gold if n_gold else 0.0})
+    return pd.DataFrame(rows, columns=["key", "n_pairs", "tp", "recall"])
+
+
+def distributed_prf(pred: "ray.data.Dataset", gold: pd.DataFrame) -> dict:
+    """precision/recall/F1 of a DISTRIBUTED predicted pair Dataset vs a
+    (small-by-construction) gold pair frame, both id1 < id2.
+
+    The predicted set is NEVER collected on the driver: the gold pairs
+    broadcast once as a hash Index (exact string membership, no 64-bit
+    collision exposure) and each batch contributes a (tp, n) partial sum —
+    SURVEY §2.6's "recall = inner join pred⨝gold + count" as one
+    map_batches + Sum, so the metric path holds at 100 TB where the old
+    to_pandas() collect of the candidate set was a driver OOM.
+
+    Precondition (same as pairwise_prf's set semantics): ``pred`` rows are
+    distinct pairs — true for the blocking union and the match table by
+    construction (dedupe_pairs)."""
+    gref, n_gold = _gold_key_ref(gold)
+    tp, n_pred = _pair_gold_counts(pred, gref)
     precision = tp / n_pred if n_pred else 0.0
     recall = tp / n_gold if n_gold else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -917,6 +980,7 @@ def ditto_match(
     broadcast_limit: int = 2_000_000,
     n_records: int | None = None,
     num_partitions: int = 64,
+    _scorer_cls=None,
 ) -> "ray.data.Dataset":
     """Score candidate pairs with a Ditto-style model: raw attr values reach
     the pairs via the same broadcast-or-hash_join switch as feature
@@ -970,9 +1034,124 @@ def ditto_match(
         joined = hash_join(joined, right, on="id2", right_on="cid_r",
                            num_partitions=num_partitions)
     return joined.map_batches(
-        DittoScorer,
+        _scorer_cls or DittoScorer,
         fn_constructor_args=(model_ref, list(attrs), threshold),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepMatcher-style adapter (torch-optional, over the Ditto shim plumbing)
+# ---------------------------------------------------------------------------
+
+
+def deepmatcher_format(table: pd.DataFrame, gold: pd.DataFrame) -> pd.DataFrame:
+    """Reformat a Megallen wide pair table into DeepMatcher's input frame —
+    the reference's ``DeepMatcher.fix_table``/``label_table``
+    (matcher/deep_matcher.py:20-65): ``_id`` -> ``id``, a ``label`` column
+    right after it from gold membership, ``ltable_``/``rtable_`` attr
+    prefixes renamed to ``left_``/``right_``, the two id columns dropped.
+    Vectorized (merge against gold instead of the reference's per-row set
+    probes)."""
+    df = table.rename(columns={"_id": "id"}).copy()
+    if "id" not in df.columns:
+        df.insert(0, "id", np.arange(len(df), dtype=np.int64))
+    g = gold[["id1", "id2"]].drop_duplicates().assign(label=np.int64(1))
+    df = df.merge(g, how="left", left_on=["ltable_id", "rtable_id"],
+                  right_on=["id1", "id2"]).drop(columns=["id1", "id2"])
+    df["label"] = df["label"].fillna(0).astype(np.int64)
+    # reorder: label right after id (deep_matcher.py:33)
+    cols = ["id", "label"] + [c for c in df.columns if c not in ("id", "label")]
+    df = df[cols].drop(columns=["ltable_id", "rtable_id"])
+    ren = {}
+    for c in df.columns[2:]:
+        tab, _, attr = c.partition("_")
+        if tab == "ltable":
+            ren[c] = f"left_{attr}"
+        elif tab == "rtable":
+            ren[c] = f"right_{attr}"
+        else:
+            raise ValueError(f"error in schema : {tab}, {attr}")
+    return df.rename(columns=ren)
+
+
+def deepmatcher_split(df: pd.DataFrame, seed: int = 0):
+    """train : validation : test = 0.3334 : 0.1667 : 0.5, the reference's
+    two nested splits (deep_matcher.py:80-86: 0.5 train/test, then
+    0.6667/0.3333 of train) with a seeded shuffle standing in for
+    py_entitymatching's random_state."""
+    idx = np.random.default_rng(seed).permutation(len(df))
+    n_train_all = int(round(len(df) * 0.5))
+    train_all, test = df.iloc[idx[:n_train_all]], df.iloc[idx[n_train_all:]]
+    n_train = int(round(len(train_all) * 0.6667))
+    return (train_all.iloc[:n_train].reset_index(drop=True),
+            train_all.iloc[n_train:].reset_index(drop=True),
+            test.reset_index(drop=True))
+
+
+class DeepMatcherScorer:
+    """Actor-pool DeepMatcher scorer — same output surface as RFScorer /
+    DittoScorer ({id1, id2, proba, label}).  ``model`` is any callable
+    ``model(frame: pd.DataFrame) -> probas`` over a DeepMatcher-format frame
+    (``left_<attr>``/``right_<attr>`` string columns) — the reference's
+    ``dm.MatchingModel.run_prediction`` wrapped in a closure when
+    torch/deepmatcher are installed, or a stub in tests.  Model fetched once
+    per actor (reference apply_model reloads the .pth per chunk,
+    deep_matcher.py:131-140)."""
+
+    def __init__(self, model_ref, attrs, threshold: float = 0.5):
+        self.model = ray.get(model_ref)
+        self.attrs = list(attrs)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+                 "proba": pa.array([], pa.float64()), "label": pa.array([], pa.int8())}
+            )
+        frame = pd.DataFrame({
+            f"{side}_{a}": pd.Series(
+                t.column(f"{pre}_{a}").to_numpy(zero_copy_only=False)
+            ).fillna("").astype(str)
+            for side, pre in (("left", "l"), ("right", "r"))
+            for a in self.attrs
+        })
+        p = np.asarray(self.model(frame), np.float64)
+        return pa.table(
+            {
+                "id1": t.column("id1"),
+                "id2": t.column("id2"),
+                "proba": pa.array(p, pa.float64()),
+                "label": pa.array((p >= self.threshold).astype(np.int8), pa.int8()),
+            }
+        )
+
+
+def deepmatcher_match(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    attrs: list[str],
+    model,
+    *,
+    threshold: float = 0.5,
+    concurrency=(1, 8),
+    batch_size: int = 512,
+    broadcast: bool | None = None,
+    broadcast_limit: int = 2_000_000,
+    n_records: int | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """DeepMatcher-style scoring over candidate pairs: identical plumbing to
+    ditto_match (broadcast-or-hash_join value attach, actor-pool scoring),
+    differing only in the per-batch input the model sees (a wide
+    left_/right_ frame instead of serialized text)."""
+    scored = ditto_match(
+        pairs, docs, attrs, model, threshold=threshold, concurrency=concurrency,
+        batch_size=batch_size, broadcast=broadcast,
+        broadcast_limit=broadcast_limit, n_records=n_records,
+        num_partitions=num_partitions, _scorer_cls=DeepMatcherScorer,
+    )
+    return scored

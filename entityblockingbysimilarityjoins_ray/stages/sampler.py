@@ -34,6 +34,7 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..functions.hashing import bucket_of, group_sizes_from_sorted, hash_strings
+from ..functions.tokenize import md5_hash_strings
 from . import blocking as B
 
 logger = logging.getLogger(__name__)
@@ -55,19 +56,26 @@ def _seeded_pick(ids_hash: np.ndarray, frac: float, seed: int) -> np.ndarray:
 def down_sample(
     docs: "ray.data.Dataset", *, attr: str = "doc", tok: str = "dlm", q: int = 3,
     n: int = 1000, y: int = 20, cfg: PipelineConfig | None = None, seed: int = 42,
-    max_list: int = 200,
+    max_list: int = 200, id_hash64: str = "pandas",
 ) -> "ray.data.Dataset":
     """Candidate-pair sample: n//y probe records x their token-list mates.
 
     Mirrors DownSampler::sample (inverted index on the attribute's tokens,
     random probes, mates collected from the probes' inverted lists); the
     per-token list cap (``max_list``, logged) matches the reference's
-    inverted-list caps (MAX_INV_SIZE semantics)."""
+    inverted-list caps (MAX_INV_SIZE semantics).  The cap keeps each list's
+    first ``max_list`` entries under a TOTAL order (tok, side, id-hash), so
+    the sample is deterministic regardless of block arrival order.
+
+    ``id_hash64="md5"`` draws the probe picks and the cap order from
+    DuckDB-reproducible md5 id hashes (md5_number_lower semantics) so a SQL
+    oracle can replay the exact sample; default stays the fast siphash."""
     cfg = cfg or PipelineConfig()
     n_probes = max(1, n // y)
     n_records = docs.count()
     frac = min(1.0, n_probes / max(n_records, 1))
     toks = B.tokenize_docs(docs, attr, tok, q)
+    id_hfn = {"pandas": hash_strings, "md5": md5_hash_strings}[id_hash64]
 
     def emit(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
@@ -79,7 +87,7 @@ def down_sample(
         vals = np.asarray(col.flatten(), dtype=np.int64)
         lens = np.diff(offs)
         rows = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
-        idh = hash_strings(ids)
+        idh = id_hfn(ids)
         probe = _seeded_pick(idh, frac, seed)
         side = probe[rows].astype(np.int8)  # 1 = probe, 0 = index mate
         return pa.table({
@@ -87,13 +95,17 @@ def down_sample(
             "tok": pa.array(vals, pa.int64()),
             "side": pa.array(1 - side, pa.int8()),  # 0 = probe first after sort
             "id": pa.array(ids[rows], pa.string()),
+            "idh": pa.array(idh[rows], pa.int64()),
         })
 
     def pairs(t: pa.Table) -> pa.Table:
         tok = np.asarray(t.column("tok"), dtype=np.int64)
         side = np.asarray(t.column("side"), dtype=np.int64)
         ids = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
-        order = np.lexsort((side, tok))
+        idh = np.asarray(t.column("idh"), dtype=np.int64)
+        # unsigned id-hash as the tie-break so the cap keeps a deterministic
+        # prefix (and matches SQL UBIGINT ordering in md5 mode)
+        order = np.lexsort((idh.view(np.uint64), side, tok))
         tok, side, ids = tok[order], side[order], ids[order]
         starts, sizes = group_sizes_from_sorted(tok)
         if sizes.size and sizes.max() > max_list:

@@ -295,3 +295,75 @@ def test_load_word2vec_binary_and_text_roundtrip(tmp_path):
     M = e.embed(np.array(["alpha beta", "gamma"], dtype=object))
     assert M.shape == (2, 4)
     assert np.allclose(np.linalg.norm(M, axis=1), 1.0)
+
+
+def test_load_fasttext_bin_roundtrip(tmp_path):
+    """Synthesize a tiny NATIVE fastText .bin (magic 793712314, args block,
+    NUL-terminated dictionary, float32 input matrix) and check the loader
+    reconstructs word vectors as the mean of word-row + subword-bucket rows,
+    with an INDEPENDENT FNV-1a-over-signed-chars hash in the test."""
+    import struct
+
+    import numpy as np
+
+    from entityblockingbysimilarityjoins_ray.stages.interchangeable import (
+        PretrainedEmbedder,
+    )
+
+    rng = np.random.default_rng(9)
+    words = ["cat", "caté", "dog"]
+    dim, bucket, minn, maxn = 4, 13, 2, 3
+    nwords = len(words)
+    mat = rng.normal(size=(nwords + bucket, dim)).astype(np.float32)
+
+    p = tmp_path / "tiny.bin"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<ii", 793712314, 12))
+        f.write(struct.pack("<12i", dim, 5, 5, 1, 5, 1, 1, 1,
+                            bucket, minn, maxn, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack("<iii", nwords, nwords, 0))
+        f.write(struct.pack("<qq", 100, 0))
+        for w in words:
+            f.write(w.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<qb", 7, 0))
+        f.write(struct.pack("<?", False))
+        f.write(struct.pack("<qq", nwords + bucket, dim))
+        f.write(mat.tobytes())
+
+    e = PretrainedEmbedder().load_fasttext_bin(str(p))
+    assert e.dim == dim and list(e.vocab) == words
+
+    def fnv(data: bytes) -> int:
+        h = 2166136261
+        for b in data:
+            sb = b - 256 if b >= 128 else b
+            h = ((h ^ (sb & 0xFFFFFFFF)) * 16777619) & 0xFFFFFFFF
+        return h
+
+    def subwords(word: str) -> list[int]:
+        data = ("<" + word + ">").encode("utf-8")
+        out = []
+        for i in range(len(data)):
+            if (data[i] & 0xC0) == 0x80:
+                continue
+            j, n = i, 1
+            while j < len(data) and n <= maxn:
+                j += 1
+                while j < len(data) and (data[j] & 0xC0) == 0x80:
+                    j += 1
+                if n >= minn and not (n == 1 and (i == 0 or j == len(data))):
+                    out.append(fnv(data[i:j]) % bucket)
+                n += 1
+        return out
+
+    for i, w in enumerate(words):
+        rows = [i] + [nwords + h for h in subwords(w)]
+        expect = mat[rows].astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(e.vectors[i], expect, rtol=1e-12)
+
+    # OOV vector: subword rows only, no word row
+    oov_rows = [nwords + h for h in subwords("cog")]
+    np.testing.assert_allclose(
+        e.oov_vector("cog"), mat[oov_rows].astype(np.float64).mean(axis=0),
+        rtol=1e-12)

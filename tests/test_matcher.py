@@ -451,3 +451,99 @@ def test_word2vec_roundtrip_property(tmp_path):
         assert np.allclose(e.vectors, V.astype(np.float64))
 
     check()
+
+
+def test_deepmatcher_adapter(ray_session):
+    """DeepMatcher adapter: fix_table/label_table reformat semantics,
+    the 1/3:1/6:1/2 split, and the actor-pool scoring surface with a stub
+    model over the wide left_/right_ frame."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        DeepMatcherScorer,
+        deepmatcher_format,
+        deepmatcher_match,
+        deepmatcher_split,
+    )
+
+    wide = pd.DataFrame({
+        "_id": [0, 1, 2],
+        "ltable_id": ["a", "b", "c"],
+        "rtable_id": ["x", "y", "z"],
+        "ltable_head": ["foo", "bar", "baz"],
+        "rtable_head": ["foo", "qux", "baz"],
+    })
+    gold = pd.DataFrame({"id1": ["a", "c"], "id2": ["x", "z"]})
+    fmt = deepmatcher_format(wide, gold)
+    assert list(fmt.columns) == ["id", "label", "left_head", "right_head"]
+    assert fmt["label"].tolist() == [1, 0, 1]
+
+    big = pd.concat([fmt] * 20, ignore_index=True)
+    tr, va, te = deepmatcher_split(big, seed=0)
+    assert len(tr) + len(va) + len(te) == len(big)
+    assert abs(len(te) - len(big) * 0.5) <= 1
+    assert abs(len(tr) - (len(big) - len(te)) * 0.6667) <= 1
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"conv_id": ["a", "b", "x", "y"], "head": ["foo", "bar", "foo", "qux"]}))
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"id1": ["a", "b"], "id2": ["x", "y"]}))
+
+    def stub_model(frame: pd.DataFrame) -> np.ndarray:
+        # matches when both sides agree — checks the frame columns arrive
+        assert set(frame.columns) == {"left_head", "right_head"}
+        return (frame["left_head"] == frame["right_head"]).to_numpy(np.float64)
+
+    for bl in (1_000_000, 0):  # broadcast and join value-attach paths
+        out = deepmatcher_match(pairs, docs, ["head"], stub_model,
+                                broadcast_limit=bl).to_pandas()
+        out = out.sort_values("id1").reset_index(drop=True)
+        assert out["label"].tolist() == [1, 0]
+        assert set(out.columns) == {"id1", "id2", "proba", "label"}
+
+    # empty-batch guard
+    empty = DeepMatcherScorer.__new__(DeepMatcherScorer)
+    empty.model, empty.attrs, empty.threshold = stub_model, ["head"], 0.5
+    import pyarrow as pa
+
+    res = empty(pa.table({"id1": pa.array([], pa.string()),
+                          "id2": pa.array([], pa.string()),
+                          "l_head": pa.array([], pa.string()),
+                          "r_head": pa.array([], pa.string())}))
+    assert res.num_rows == 0
+
+
+def test_rule_recall_report_planted(ray_session):
+    """getRecall4Rules semantics on a planted fixture: per-rule rows count
+    each rule's pairs vs gold; count:<i> rows bucket the union by EXACTLY-i
+    passed rules."""
+    import pandas as pd
+    import ray
+
+    from entityblockingbysimilarityjoins_ray.stages.matcher import (
+        rule_recall_report,
+    )
+
+    r1 = pd.DataFrame({"id1": ["a", "b", "c"], "id2": ["x", "y", "z"]})
+    r2 = pd.DataFrame({"id1": ["a", "d"], "id2": ["x", "w"]})
+    union = pd.DataFrame({
+        "id1": ["a", "b", "c", "d"], "id2": ["x", "y", "z", "w"],
+        "passed_rules": [2, 1, 1, 1],
+    })
+    gold = pd.DataFrame({"id1": ["a", "c", "e"], "id2": ["x", "z", "q"]})
+
+    out = rule_recall_report(
+        {"rule1": ray.data.from_pandas(r1), "rule2": ray.data.from_pandas(r2)},
+        ray.data.from_pandas(union), gold,
+    ).set_index("key")
+
+    assert out.loc["rule:rule1", "n_pairs"] == 3
+    assert out.loc["rule:rule1", "tp"] == 2
+    assert abs(out.loc["rule:rule1", "recall"] - 2 / 3) < 1e-12
+    assert out.loc["rule:rule2", "tp"] == 1
+    assert out.loc["count:1", "n_pairs"] == 3
+    assert out.loc["count:1", "tp"] == 1  # c-z is gold, b-y and d-w are not
+    assert out.loc["count:2", "n_pairs"] == 1
+    assert out.loc["count:2", "tp"] == 1

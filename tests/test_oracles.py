@@ -63,7 +63,7 @@ ORACLE_NAMES = [
     "events_sessionize", "events_asof", "events_in_sessions",
     "tpch_pricing", "tpch_top_customers",
     "simhash_docs", "fingerprint_winnow", "ann_topk_ivf",
-    "minhash_lsh_docs", "er_f1_report",
+    "minhash_lsh_docs", "er_f1_report", "rule_recall", "sample_down",
 ]
 
 
@@ -79,8 +79,8 @@ def test_query_matches_oracle(contract, con, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
-ROWS_ONLY = ["multimodal_decode", "sample_down", "group_values",
-             "embed_dup_pairs_lsh", "ic_graph"]
+ROWS_ONLY = ["multimodal_decode", "group_values",
+             "embed_dup_pairs_lsh", "ic_graph", "er_zeroer"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

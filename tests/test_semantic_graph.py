@@ -287,3 +287,30 @@ def test_second_round_match_graph_recovers_ic_pair(ray_session):
     # (a, z): z isolated and dissimilar to a's neighborhood -> dropped.
     assert ("a", "b") in got
     assert ("a", "z") not in got
+
+
+def test_attach_values_paths_agree_on_missing_doc_id(ray_session):
+    """A pair id with NO doc row must get value "" on BOTH sides of the
+    broadcast gate (the join path LEFT-joins; the broadcast path reindexes
+    to NaN -> "") — the row itself must never be dropped."""
+    import pandas as pd
+    import ray
+
+    from entityblockingbysimilarityjoins_ray.stages.semantic_graph import (
+        _attach_values,
+    )
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"conv_id": ["a", "b"], "val": ["x", "y"]}))
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"id1": ["a", "a"], "id2": ["b", "GHOST"]}))
+
+    outs = {}
+    for label, limit in (("broadcast", 1_000_000), ("join", 0)):
+        out = _attach_values(pairs, docs, "val", out_l="l", out_r="r",
+                             num_partitions=4, broadcast_limit=limit)
+        outs[label] = (out.to_pandas()
+                       .sort_values(["id1", "id2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+    ghost = outs["join"][outs["join"]["id2"] == "GHOST"]
+    assert len(ghost) == 1 and ghost.iloc[0]["r"] == ""
