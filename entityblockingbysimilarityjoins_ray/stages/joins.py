@@ -65,6 +65,32 @@ def hash_join(
     all_fields = [lsch.field(n) for n in lnames]
     all_fields += [rsch.field(n) for n in rnames if n not in lnames]
 
+    def zero_pad(n: int, typ: pa.DataType):
+        """Type-stable filler for the other side's columns.  NOT nulls: a
+        nullable int64 crossing Ray's sort can coerce through pandas float64
+        and silently ROUND 64-bit key values (observed: hash keys ending in
+        trailing zero bits after a union with null-padded blocks).  Padded
+        values are never read — each merge side filters to its own rows —
+        so any type-correct constant is safe."""
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.nulls(n, typ).fill_null("")
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            return pa.nulls(n, typ).fill_null(b"")
+        if pa.types.is_list(typ):
+            return pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+                pa.array([], typ.value_type))
+        if pa.types.is_large_list(typ):
+            return pa.LargeListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+                pa.array([], typ.value_type))
+        if pa.types.is_boolean(typ):
+            return pa.nulls(n, typ).fill_null(False)
+        try:
+            return pa.nulls(n, typ).fill_null(pa.scalar(0, typ))
+        except Exception:
+            return pa.nulls(n, typ)
+
     def norm(side: int, key: str):
         def f(t: pa.Table) -> pa.Table:
             cols = {}
@@ -73,7 +99,7 @@ def hash_join(
                     c = t.column(fld.name)
                     cols[fld.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
                 else:
-                    cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+                    cols[fld.name] = zero_pad(t.num_rows, fld.type)
             keyvals = t.column(key).to_numpy(zero_copy_only=False)
             pb = bucket_of(_hash_any(keyvals), num_partitions) if t.num_rows else np.empty(0, np.int64)
             cols[_PB] = pa.array(pb.astype(np.int32), pa.int32())
@@ -92,19 +118,44 @@ def hash_join(
     field_of = {f.name: f for f in all_fields}
     out_schema = pa.schema([field_of[n] for n in out_names])
 
-    def merge(df: pd.DataFrame) -> pa.Table:
-        lp = df[df[_SIDE] == 0][lnames]
-        rp = df[df[_SIDE] == 1][rnames]
-        m = lp.merge(rp, left_on=on, right_on=right_on, how=how)
+    def merge(t: pa.Table) -> pa.Table:
+        # ARROW-NATIVE merge: pandas only maps join keys -> row positions;
+        # every payload column (token lists, vectors, wide strings) moves by
+        # zero-copy Table.take.  The previous pandas-frame merge converted
+        # list<...> columns to Python object arrays and back PER PARTITION —
+        # the dominant cost of the beyond-broadcast verify/feature family.
+        import pyarrow.compute as pc
+
+        side = np.asarray(t.column(_SIDE), dtype=np.int8)
+        lmask, rmask = pa.array(side == 0), pa.array(side == 1)
+        lt = t.filter(lmask).select(lnames)
+        rt = t.filter(rmask).select(rnames)
+        lk = pd.DataFrame({
+            "__k": lt.column(on).to_numpy(zero_copy_only=False),
+            "__li": np.arange(lt.num_rows, dtype=np.int64)})
+        rk = pd.DataFrame({
+            "__k": rt.column(right_on).to_numpy(zero_copy_only=False),
+            "__ri": np.arange(rt.num_rows, dtype=np.int64)})
+        m = lk.merge(rk, on="__k", how=how)
+        li = pa.array(m["__li"].to_numpy(np.int64))
+        # left-join misses carry null right indices -> pc.take yields nulls
+        ri = pa.array(m["__ri"].astype("Int64"), pa.int64())
+        cols = []
+        for n in out_names:
+            if n in lnames:
+                cols.append(pc.take(lt.column(n), li))
+            else:
+                cols.append(pc.take(rt.column(n), ri))
         # explicit Arrow schema so chained joins / downstream arrow kernels
         # see typed blocks even when a partition is empty
-        cols = [pa.Array.from_pandas(m[n], type=field_of[n].type) for n in out_names]
-        return pa.Table.from_arrays(cols, schema=out_schema)
+        return pa.Table.from_arrays(
+            [c.cast(field_of[n].type) for c, n in zip(cols, out_names)],
+            schema=out_schema)
 
     return (
         l.union(r)
         .groupby(_PB)
-        .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
+        .map_groups(lambda g: merge(g.drop([_PB])), batch_format="pyarrow")
     )
 
 
