@@ -89,11 +89,14 @@ def _feature_columns(t: pa.Table, specs) -> pa.Table:
     return pa.table(out)
 
 
-def _build_state(tbl: pa.Table, specs) -> dict:
+def _build_state(tbl: pa.Table, specs, ids=None) -> dict:
     """Broadcast state from the collected feature-column table: token hashes
     relabeled ONCE to a dense [0, m) space per column so the per-batch verify
-    kernel is a single fused-int binary search (no per-batch np.unique)."""
-    ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
+    kernel is a single fused-int binary search (no per-batch np.unique).
+    ``ids`` overrides the index values (the grouped join path keys records
+    by int64 id-hash instead of the id strings)."""
+    if ids is None:
+        ids = np.asarray(tbl.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
     state: dict = {"index": pd.Index(ids)}
     needed_tok, needed_raw = _needed(specs)
     for attr, tok, q in needed_tok:
@@ -129,6 +132,16 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
     ok = (r1 >= 0) & (r2 >= 0)
     ids1, ids2, r1, r2 = ids1[ok], ids2[ok], r1[ok], r2[ok]
     out = {"id1": pa.array(ids1, pa.string()), "id2": pa.array(ids2, pa.string())}
+    for name, f in _features_from_rows(state, r1, r2, specs).items():
+        out[name] = pa.array(f, pa.float64())
+    return pa.table(out)
+
+
+def _features_from_rows(state: dict, r1: np.ndarray, r2: np.ndarray,
+                        specs) -> dict:
+    """The per-pair feature kernels over resolved record rows — shared by
+    the broadcast path and the grouped (demand-semi-join) join path."""
+    out: dict = {}
     # several specs usually share one (attr, tok, q) tokenization (jac/cos/
     # dice/ovlpcoeff over the same column) — compute the per-pair overlap
     # ONCE per tokenization, not once per spec (it dominates the kernel)
@@ -169,8 +182,8 @@ def _extract_batch(batch: pa.Table, *, state_ref, specs) -> pa.Table:
             f = S.monge_elkan_batch(raw[r1], raw[r2])
         else:
             raise ValueError(s.sim)
-        out[s.name] = pa.array(f, pa.float64())
-    return pa.table(out)
+        out[s.name] = f
+    return out
 
 
 def _ren_side(prefix):
@@ -279,17 +292,35 @@ def extract_features(
             batch_size=batch_size,
         )
 
-    from .joins import hash_join
+    from .joins import demand_semijoin_apply
 
-    left = feat_cols.map_batches(_ren_side("l"), batch_format="pyarrow")
-    right = feat_cols.map_batches(_ren_side("r"), batch_format="pyarrow")
-    j = hash_join(pairs.select_columns(["id1", "id2"]), left,
-                  on="id1", right_on="cid_l", num_partitions=num_partitions)
-    j = hash_join(j, right, on="id2", right_on="cid_r", num_partitions=num_partitions)
-    return j.map_batches(
-        _extract_joined, fn_kwargs={"specs": list(specs)},
-        batch_format="pyarrow", batch_size=batch_size,
-    )
+    specs = list(specs)
+
+    def bucket_fn(pt: pa.Table, rt: pa.Table) -> pa.Table:
+        if pt.num_rows == 0:
+            cols = {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())}
+            for s in specs:
+                cols[s.name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        # bucket-local state keyed by the int64 id hashes (faster indexer
+        # than the broadcast path's object ids)
+        keys = np.asarray(rt.column("k1"), dtype=np.int64)
+        state = _build_state(rt, specs, ids=keys)
+        idx = state["index"]
+        r1 = idx.get_indexer(np.asarray(pt.column("k1"), dtype=np.int64))
+        r2 = idx.get_indexer(np.asarray(pt.column("k2"), dtype=np.int64))
+        ok = (r1 >= 0) & (r2 >= 0)
+        base = pt.select(["id1", "id2"]).filter(pa.array(ok))
+        out = {"id1": base.column("id1"), "id2": base.column("id2")}
+        for name, f in _features_from_rows(state, r1[ok], r2[ok], specs).items():
+            out[name] = pa.array(f, pa.float64())
+        return pa.table(out)
+
+    # each record's feature-input row (token lists + raw attrs) ships once
+    # per needing bucket instead of once per pair (see demand_semijoin_apply)
+    return demand_semijoin_apply(
+        pairs.select_columns(["id1", "id2"]), feat_cols, bucket_fn,
+        num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,32 @@ def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
                       for n, t in zip(sch.names, sch.types)])
 
 
+def zero_pad(n: int, typ: pa.DataType):
+    """Type-stable filler column of length n.  NOT nulls: a nullable int64
+    crossing Ray's sort can coerce through pandas float64 and silently
+    ROUND 64-bit key values (observed: hash keys ending in trailing zero
+    bits after a union with null-padded blocks).  Only use where the padded
+    values are never read."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.nulls(n, typ).fill_null("")
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.nulls(n, typ).fill_null(b"")
+    if pa.types.is_list(typ):
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array([], typ.value_type))
+    if pa.types.is_large_list(typ):
+        return pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int64), pa.int64()),
+            pa.array([], typ.value_type))
+    if pa.types.is_boolean(typ):
+        return pa.nulls(n, typ).fill_null(False)
+    try:
+        return pa.nulls(n, typ).fill_null(pa.scalar(0, typ))
+    except Exception:
+        return pa.nulls(n, typ)
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -64,32 +90,6 @@ def hash_join(
         raise ValueError(f"hash_join requires disjoint columns, overlap: {overlap}")
     all_fields = [lsch.field(n) for n in lnames]
     all_fields += [rsch.field(n) for n in rnames if n not in lnames]
-
-    def zero_pad(n: int, typ: pa.DataType):
-        """Type-stable filler for the other side's columns.  NOT nulls: a
-        nullable int64 crossing Ray's sort can coerce through pandas float64
-        and silently ROUND 64-bit key values (observed: hash keys ending in
-        trailing zero bits after a union with null-padded blocks).  Padded
-        values are never read — each merge side filters to its own rows —
-        so any type-correct constant is safe."""
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            return pa.nulls(n, typ).fill_null("")
-        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-            return pa.nulls(n, typ).fill_null(b"")
-        if pa.types.is_list(typ):
-            return pa.ListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int32), pa.int32()),
-                pa.array([], typ.value_type))
-        if pa.types.is_large_list(typ):
-            return pa.LargeListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int64), pa.int64()),
-                pa.array([], typ.value_type))
-        if pa.types.is_boolean(typ):
-            return pa.nulls(n, typ).fill_null(False)
-        try:
-            return pa.nulls(n, typ).fill_null(pa.scalar(0, typ))
-        except Exception:
-            return pa.nulls(n, typ)
 
     def norm(side: int, key: str):
         def f(t: pa.Table) -> pa.Table:
@@ -338,3 +338,121 @@ def interval_join(
         .groupby(_PB)
         .map_groups(lambda g: merge(g.drop(columns=[_PB])), batch_format="pandas")
     )
+
+
+def demand_semijoin_apply(
+    pairs: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    apply_fn,
+    *,
+    num_partitions: int = 64,
+    key_col: str = "conv_id",
+):
+    """Generic demand-semi-join co-partition for pair-vs-record operators
+    (the beyond-broadcast 100x path shared by verify and feature
+    extraction; see verify.verify_pairs_grouped for the design rationale):
+
+    1. pairs bucket by hash(id1);
+    2. a dedup'd narrow (bucket, record-key-hash) DEMAND set shuffles;
+    3. each record's payload row joins the demand ONCE per needing bucket
+       (never once per pair — the list-per-pair join this replaces was the
+       dominant cost of the scale path);
+    4. ``apply_fn(pairs_tbl, records_tbl)`` runs per bucket, where
+       pairs_tbl has {k1, k2, id1, id2} (k = 64-bit id hashes) and
+       records_tbl has {k1} + the record payload columns.
+
+    NO NULLABLE INTS cross the internal union (zero_pad): Ray's sort can
+    coerce nullable int64 through pandas float64 and round 64-bit keys."""
+    from ..functions.hashing import hash_strings
+
+    psch = _pa_schema(pairs)
+    rsch = _pa_schema(records)
+    id1_t, id2_t = psch.field("id1").type, psch.field("id2").type
+    payload = [rsch.field(n) for n in rsch.names if n != key_col]
+    fields = [("pb", pa.int32()), ("isp", pa.int8()),
+              ("k1", pa.int64()), ("k2", pa.int64()),
+              ("id1", id1_t), ("id2", id2_t)]
+    fields += [(f.name, f.type) for f in payload]
+    schema = pa.schema(fields)
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        i1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
+        i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
+        k1, k2 = hash_strings(i1), hash_strings(i2)
+        n = len(i1)
+        c1, c2 = t.column("id1"), t.column("id2")
+        cols = {
+            "pb": pa.array(bucket_of(k1, num_partitions).astype(np.int32), pa.int32()),
+            "isp": pa.array(np.ones(n, np.int8), pa.int8()),
+            "k1": pa.array(k1, pa.int64()), "k2": pa.array(k2, pa.int64()),
+            "id1": c1.combine_chunks() if isinstance(c1, pa.ChunkedArray) else c1,
+            "id2": c2.combine_chunks() if isinstance(c2, pa.ChunkedArray) else c2,
+        }
+        for f in payload:
+            cols[f.name] = zero_pad(n, f.type)
+        return pa.table(cols, schema=schema)
+
+    tagged = pairs.select_columns(["id1", "id2"]).map_batches(
+        tag_pairs, batch_format="pyarrow").materialize()
+
+    def emit_demand(t: pa.Table) -> pa.Table:
+        pb = np.asarray(t.column("pb"), dtype=np.int64)
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        u = np.unique(np.stack([np.concatenate([pb, pb]),
+                                np.concatenate([k1, k2])]), axis=1)
+        return pa.table({
+            "db": pa.array(bucket_of(u[1], num_partitions).astype(np.int32), pa.int32()),
+            "pb": pa.array(u[0].astype(np.int32), pa.int32()),
+            "k": pa.array(u[1], pa.int64()),
+        })
+
+    def dedup_demand(t: pa.Table) -> pa.Table:
+        u = np.unique(np.stack([np.asarray(t.column("pb"), dtype=np.int64),
+                                np.asarray(t.column("k"), dtype=np.int64)]), axis=1)
+        return pa.table({"pb": pa.array(u[0].astype(np.int32), pa.int32()),
+                         "k": pa.array(u[1], pa.int64())})
+
+    demand = (tagged.map_batches(emit_demand, batch_format="pyarrow")
+              .groupby("db")
+              .map_groups(lambda g: dedup_demand(g.drop(["db"])),
+                          batch_format="pyarrow"))
+
+    def tag_records(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(key_col).to_numpy(zero_copy_only=False), dtype=object)
+        cols = {"kk": pa.array(hash_strings(ids), pa.int64())}
+        for f in payload:
+            c = t.column(f.name)
+            cols["p_" + f.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return pa.table(cols)
+
+    recs_keyed = records.map_batches(tag_records, batch_format="pyarrow")
+    lists = hash_join(demand, recs_keyed, on="k", right_on="kk",
+                      num_partitions=num_partitions)
+
+    def shape_records(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "pb": t.column("pb"),
+            "isp": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "k1": t.column("k"),
+            "k2": zero_pad(n, pa.int64()),
+            "id1": zero_pad(n, id1_t),
+            "id2": zero_pad(n, id2_t),
+        }
+        for f in payload:
+            c = t.column("p_" + f.name)
+            cols[f.name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return pa.table(cols, schema=schema)
+
+    shaped = lists.map_batches(shape_records, batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        isp = np.asarray(t.column("isp"), dtype=np.int8) == 1
+        pt = t.filter(pa.array(isp)).select(["k1", "k2", "id1", "id2"])
+        rt = t.filter(pa.array(~isp)).select(["k1"] + [f.name for f in payload])
+        return apply_fn(pt, rt)
+
+    return (tagged.union(shaped)
+            .groupby("pb")
+            .map_groups(lambda g: bucket(g.drop(["pb"])), batch_format="pyarrow"))

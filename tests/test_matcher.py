@@ -547,3 +547,37 @@ def test_rule_recall_report_planted(ray_session):
     assert out.loc["count:1", "tp"] == 1  # c-z is gold, b-y and d-w are not
     assert out.loc["count:2", "n_pairs"] == 1
     assert out.loc["count:2", "tp"] == 1
+
+
+def test_extract_features_broadcast_vs_grouped_join_path(ray_session):
+    """Feature vectors must be identical on both sides of the broadcast
+    gate (the join side is the demand-semi-join grouped path)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from entityblockingbysimilarityjoins_ray.stages.features import (
+        DEFAULT_FEATURES,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+    docs = pd.DataFrame({
+        "conv_id": [f"c{i:03d}" for i in range(60)],
+        "doc": [" ".join(rng.choice(words, size=rng.integers(3, 7))) for _ in range(60)],
+        "head": [" ".join(rng.choice(words, size=2)) for _ in range(60)],
+        "n_turns": rng.integers(1, 9, 60),
+    })
+    pairs = pd.DataFrame({
+        "id1": [f"c{i:03d}" for i in range(0, 30)],
+        "id2": [f"c{i:03d}" for i in range(30, 60)],
+    })
+    dd = ray.data.from_pandas(docs)
+    pp = ray.data.from_pandas(pairs)
+    a = (extract_features(pp, dd, DEFAULT_FEATURES, broadcast_limit=1_000_000)
+         .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    b = (extract_features(pp, dd, DEFAULT_FEATURES, broadcast_limit=0, num_partitions=16)
+         .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+    assert len(a) == len(pairs)
