@@ -485,20 +485,164 @@ def monge_elkan(s1: str, s2: str, split: str = " ") -> float:
     return cummax / len(r1)
 
 
+# vectorized JW is O(L^2) vector ops per batch; beyond this length the scalar
+# O(len * window) per-pair loop wins and the semantics stop being a name/title
+# kernel anyway
+_JW_VEC_MAXLEN = 128
+
+
+def _codes_view(arr: np.ndarray, L: int) -> np.ndarray:
+    """(n, L) uint32 codepoint view of a fixed-width ``U`` array, 0-padded —
+    numpy's UCS4 storage IS the codepoint matrix, no per-row encode."""
+    w = arr.dtype.itemsize // 4
+    if w == 0:
+        return np.zeros((len(arr), max(L, 1)), dtype=np.uint32)
+    return np.ascontiguousarray(arr).view(np.uint32).reshape(len(arr), w)[:, :L]
+
+
+def _jw_vec(sa, sb, l1=None, l2=None) -> np.ndarray:
+    """Batch-vectorized Jaro-Winkler, bit-identical to ``jaro_winkler``:
+    the greedy window match runs as L1*L2 masked vector ops over the whole
+    batch instead of per-pair Python loops; transpositions compare the
+    order-gathered matched chars (the scalar ``min(j, len2-1)`` branch is
+    unreachable because #matched(s1) == #matched(s2)); same float op order
+    as the scalar for IEEE equality."""
+    Aall = np.asarray(sa, dtype="U") if not (
+        isinstance(sa, np.ndarray) and sa.dtype.kind == "U") else sa
+    Ball = np.asarray(sb, dtype="U") if not (
+        isinstance(sb, np.ndarray) and sb.dtype.kind == "U") else sb
+    n = len(Aall)
+    if l1 is None:
+        l1 = np.char.str_len(Aall).astype(np.int64)
+    if l2 is None:
+        l2 = np.char.str_len(Ball).astype(np.int64)
+    out = np.zeros(n, dtype=np.float64)
+    eq = Aall == Ball
+    live = (l1 > 0) & (l2 > 0) & ~eq
+    out[eq & (l1 > 0)] = 1.0
+    if not live.any():
+        return out
+    L1, L2 = int(l1[live].max()), int(l2[live].max())
+    # the precomputed n*L1*L2 window+equality cube trades memory for ~5 numpy
+    # calls per s1-position; chunk rows so the cube stays <= 64 MB
+    max_rows = max(1, (1 << 26) // max(1, L1 * L2))
+    if n > max_rows:
+        for s in range(0, n, max_rows):
+            out[s : s + max_rows] = _jw_vec(
+                Aall[s : s + max_rows], Ball[s : s + max_rows],
+                l1[s : s + max_rows], l2[s : s + max_rows])
+        return out
+    A = _codes_view(Aall, L1)
+    B = _codes_view(Ball, L2)
+    rng = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    # E[r, i, j] = chars equal AND j within r's match window for i AND both
+    # positions in-bounds AND row live: the full greedy-match candidate cube
+    ar1 = np.arange(L1)
+    ar2 = np.arange(L2)
+    E = np.abs(ar1[:, None] - ar2[None, :])[None, :, :] <= rng[:, None, None]
+    E &= ar1[None, :, None] < l1[:, None, None]
+    E &= ar2[None, None, :] < l2[:, None, None]
+    E &= live[:, None, None]
+    E &= A[:, :, None] == B[:, None, :]
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    for i in range(L1):
+        # first unmatched j in the window with equal chars == argmax over the
+        # candidate row with already-taken columns knocked out
+        C = E[:, i, :] & ~m2
+        anyr = C.any(axis=1)
+        if not anyr.any():
+            continue
+        jsel = C.argmax(axis=1)
+        m1[:, i] = anyr
+        m2[anyr, jsel[anyr]] = True
+    m = m1.sum(axis=1)
+    live &= m > 0
+    if not live.any():
+        return out
+    # gather matched chars in encounter order, compare slotwise
+    K = int(m[live].max())
+    c1 = np.cumsum(m1, axis=1) - 1
+    c2 = np.cumsum(m2, axis=1) - 1
+    G1 = np.zeros((n, K), dtype=np.uint32)
+    G2 = np.ones((n, K), dtype=np.uint32)  # different pads: slots past m never compared equal
+    r1, p1 = np.nonzero(m1)
+    G1[r1, c1[m1]] = A[m1]
+    r2, p2 = np.nonzero(m2)
+    G2[r2, c2[m2]] = B[m2]
+    slot_live = np.arange(K)[None, :] < m[:, None]
+    trans = ((G1 != G2) & slot_live).sum(axis=1)
+    mf, l1f, l2f = m.astype(np.float64), l1.astype(np.float64), l2.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = (mf / l1f + mf / l2f + (mf - trans / 2) / mf) / 3.0
+    # Winkler boost over the common prefix (<= 4) when Jaro weight > 0.7
+    Lp = min(4, L1, L2)
+    pe = (A[:, :Lp] == B[:, :Lp]) & (
+        np.arange(Lp)[None, :] < np.minimum(np.minimum(l1, l2), 4)[:, None]
+    )
+    pl = (np.cumprod(pe, axis=1) != 0).sum(axis=1).astype(np.float64)
+    w = np.where(w > 0.7, w + pl * 0.1 * (1.0 - w), w)
+    out[live] = w[live]
+    return out
+
+
 def jaro_winkler_batch(a, b) -> np.ndarray:
-    """Per-pair Jaro-Winkler over candidate-pair batches.  Short-attribute
-    feature kernel (post-blocking, bounded pair count) — per-pair loop mirrors
-    the reference's own per-pair C++ (simfunc.cc jaroWinkler); not used in any
-    corpus-scale blocking path."""
-    return np.array([jaro_winkler(str(x), str(y)) for x, y in zip(a, b)],
-                    dtype=np.float64)
+    """Jaro-Winkler over candidate-pair batches: batch-vectorized numpy kernel
+    (reference semantics, simfunc.cc jaroWinkler) with a scalar fallback for
+    rows longer than _JW_VEC_MAXLEN on either side."""
+    sa = np.asarray([x if isinstance(x, str) else str(x) for x in a], dtype="U")
+    sb = np.asarray([x if isinstance(x, str) else str(x) for x in b], dtype="U")
+    n = len(sa)
+    l1 = np.char.str_len(sa)
+    l2 = np.char.str_len(sb)
+    long_rows = (l1 > _JW_VEC_MAXLEN) | (l2 > _JW_VEC_MAXLEN)
+    if not long_rows.any():
+        return _jw_vec(sa, sb, l1.astype(np.int64), l2.astype(np.int64))
+    out = np.zeros(n, dtype=np.float64)
+    idx = np.nonzero(~long_rows)[0]
+    if idx.size:
+        out[idx] = _jw_vec(sa[idx], sb[idx],
+                           l1[idx].astype(np.int64), l2[idx].astype(np.int64))
+    for i in np.nonzero(long_rows)[0]:
+        out[i] = jaro_winkler(str(sa[i]), str(sb[i]))
+    return out
 
 
-def monge_elkan_batch(a, b) -> np.ndarray:
-    """Per-pair Monge-Elkan over candidate-pair batches (see jaro_winkler_batch
-    scope note)."""
-    return np.array([monge_elkan(str(x), str(y)) for x, y in zip(a, b)],
-                    dtype=np.float64)
+def monge_elkan_batch(a, b, split: str = " ") -> np.ndarray:
+    """Monge-Elkan over candidate-pair batches: explode every (t1, t2) token
+    combination across the batch into ONE flat jaro_winkler_batch call, then
+    segment-max over t2 and segment-mean over t1 (np.*.reduceat reduces
+    sequentially left-to-right, matching the scalar accumulation order)."""
+    toks1 = [[t for t in str(x).split(split) if t and t != " "] for x in a]
+    toks2 = [[t for t in str(x).split(split) if t and t != " "] for x in b]
+    n = len(toks1)
+    out = np.zeros(n, dtype=np.float64)
+    flat1: list = []
+    flat2: list = []
+    seg_t2: list = []  # flat offset of each (pair, t1) segment
+    seg_t1: list = []  # (pair, n1) for the per-pair mean
+    for i, (r1, r2) in enumerate(zip(toks1, toks2)):
+        if not r1 or not r2:
+            continue
+        for t in r1:
+            seg_t2.append(len(flat1))
+            flat1.extend([t] * len(r2))
+            flat2.extend(r2)
+        seg_t1.append((i, len(r1)))
+    if not flat1:
+        return out
+    jw = jaro_winkler_batch(flat1, flat2)
+    maxes = np.maximum.reduceat(jw, np.asarray(seg_t2, dtype=np.int64))
+    pos = 0
+    for i, n1 in seg_t1:
+        # sequential sum, NOT np.add.reduce (pairwise): IEEE-identical to the
+        # scalar's `cummax +=` accumulation order
+        s = 0.0
+        for v in maxes[pos : pos + n1]:
+            s += float(v)
+        out[i] = s / n1
+        pos += n1
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1074,22 +1074,23 @@ def q_minhash_lsh_docs(sf_dir: str):
     )
 
 
-def _sql_minhash(n_perm: int = 128, n_bands: int = 32, seed: int = 42,
-                 threshold: float = 0.5) -> str:
-    """Compose the minhash oracle with the SAME seeded perm constants the
-    Ray path caches (dedup._perms)."""
+def _sql_minhash_ctes(n_perm: int = 128, n_bands: int = 32, seed: int = 42) -> str:
+    """CTE chain (no WITH keyword, no final SELECT) shared by the minhash
+    oracle and the near-dup CC oracle, with the SAME seeded perm constants
+    the Ray path caches (dedup._perms).  `th` is MATERIALIZED — it is
+    referenced three times and re-inlines per reference otherwise."""
     from ..stages.dedup import _perms
 
     a, b = _perms(n_perm, seed)
     r = n_perm // n_bands
     vals = ",\n  ".join(
         f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(n_perm))
-    return f"""WITH perms(i, a, b) AS (VALUES
+    return f"""perms(i, a, b) AS (VALUES
   {vals}),
 toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS tok
   FROM documents),
-th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+th AS MATERIALIZED (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
 mh AS (SELECT doc_id, i,
               min((h::UHUGEINT * a::UHUGEINT + b::UHUGEINT)
                   % 18446744073709551616::UHUGEINT) AS mn
@@ -1104,10 +1105,78 @@ inter AS (SELECT c.id1, c.id2, count(*)::BIGINT AS o
           FROM cands c
           JOIN th a ON a.doc_id = c.id1
           JOIN th b ON b.doc_id = c.id2 AND a.h = b.h
-          GROUP BY c.id1, c.id2)
+          GROUP BY c.id1, c.id2)"""
+
+
+def _sql_minhash(n_perm: int = 128, n_bands: int = 32, seed: int = 42,
+                 threshold: float = 0.5) -> str:
+    return f"""WITH {_sql_minhash_ctes(n_perm, n_bands, seed)}
 SELECT i.id1, i.id2, i.o * 1.0 / (sa.l + sb.l - i.o) AS sim
 FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id JOIN sizes sb ON i.id2 = sb.doc_id
 WHERE i.o * 1.0 / (sa.l + sb.l - i.o) >= {threshold}"""
+
+
+def q_dedup_near_docs(sf_dir: str):
+    """End-to-end fuzzy dedup, the composite a training-data run executes:
+    MinHash-LSH verified pairs -> connected components -> one canonical doc
+    per component.  Canonical = the LEXICOGRAPHICALLY smallest doc_id string
+    of the component (cluster_entities' deterministic rep choice, identical
+    on the driver-DSU and distributed star-contraction paths); survivors are
+    rows with doc_id == canonical_id.  The SQL twin composes the minhash
+    oracle CTEs with recursive reachability, taking min over the VARCHAR
+    cast so both sides use the same order."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bl = _broadcast_limit_env()
+    pairs = minhash_lsh_dedup(docs, threshold=0.5, hash64="md5",
+                              **({"broadcast_limit": bl} if bl is not None else {}))
+
+    def _ids_str(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"id1": pc.cast(t["id1"], pa.string()),
+                         "id2": pc.cast(t["id2"], pa.string())})
+
+    def _docids_str(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"conv_id": pc.cast(t["doc_id"], pa.string())})
+
+    # materialize: cluster_entities consumes pairs twice (count + collect/CC)
+    # and would otherwise re-execute the whole minhash lineage per consumer;
+    # verified pairs are survivor-scale by construction
+    spairs = pairs.select_columns(["id1", "id2"]).map_batches(
+        _ids_str, batch_format="pyarrow").materialize()
+    ids = docs.select_columns(["doc_id"]).map_batches(
+        _docids_str, batch_format="pyarrow")
+    labels = cluster_entities(spairs, ids)
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["conv_id"].astype(np.int64),
+             "canonical_id": df["entity_id"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def _sql_dedup_near() -> str:
+    """Recursive-CC twin of q_dedup_near_docs over the minhash pair CTEs.
+    mpairs is MATERIALIZED (referenced twice by edges; re-inlining would
+    recompute the whole minhash chain — the er_f1 oracle lesson)."""
+    return f"""WITH RECURSIVE {_sql_minhash_ctes()},
+mpairs AS MATERIALIZED (
+  SELECT i.id1, i.id2
+  FROM inter i JOIN sizes sa ON i.id1 = sa.doc_id JOIN sizes sb ON i.id2 = sb.doc_id
+  WHERE i.o * 1.0 / (sa.l + sb.l - i.o) >= 0.5),
+edges AS (SELECT CAST(id1 AS VARCHAR) AS a, CAST(id2 AS VARCHAR) AS b FROM mpairs
+          UNION ALL
+          SELECT CAST(id2 AS VARCHAR), CAST(id1 AS VARCHAR) FROM mpairs),
+reach(src, dst) AS (
+  SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS canonical_id
+FROM reach GROUP BY src"""
 
 
 def q_simhash_docs(sf_dir: str):
@@ -1637,6 +1706,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_token_jac_docs": q_dedup_token_jac_docs,
     "minhash_lsh_docs": q_minhash_lsh_docs,
+    "dedup_near_docs": q_dedup_near_docs,
     "simhash_docs": q_simhash_docs,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1699,6 +1769,7 @@ ORACLES = {
     "fingerprint_winnow": SQL_FINGERPRINT_WINNOW,
     "ann_topk_ivf": SQL_ANN_TOPK,
     "minhash_lsh_docs": _sql_minhash(),
+    "dedup_near_docs": _sql_dedup_near(),
     "er_f1_report": _sql_er_f1(),
     "rule_recall": _sql_rule_recall(),
     "sample_down": _sql_sample_down(),

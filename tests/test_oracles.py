@@ -64,6 +64,7 @@ ORACLE_NAMES = [
     "tpch_pricing", "tpch_top_customers",
     "simhash_docs", "fingerprint_winnow", "ann_topk_ivf",
     "minhash_lsh_docs", "er_f1_report", "rule_recall", "sample_down",
+    "dedup_near_docs",
 ]
 
 

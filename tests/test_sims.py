@@ -132,3 +132,37 @@ def test_monge_elkan():
     assert S.monge_elkan("a b", "  ") == 0.0
     got = S.monge_elkan_batch(["aa bb"], ["aa zz"])
     assert abs(got[0] - exp) < 1e-12
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcdAB \n", max_size=24),
+                          st.text(alphabet="abcdAB \n", max_size=24)),
+                min_size=1, max_size=40))
+@settings(max_examples=120, deadline=None)
+def test_jw_batch_vectorized_equals_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = S.jaro_winkler_batch(a, b)
+    exp = np.array([S.jaro_winkler(x, y) for x, y in zip(a, b)])
+    assert np.array_equal(got, exp)  # bit-identical, not just close
+
+
+def test_jw_batch_long_row_fallback():
+    # one row beyond _JW_VEC_MAXLEN exercises the scalar fallback split
+    long_s = "ab" * 200
+    a = ["MARTHA", long_s, "", "unicodeé中"]
+    b = ["MARHTA", long_s[:-1] + "x", "x", "unicodeé中!"]
+    got = S.jaro_winkler_batch(a, b)
+    exp = np.array([S.jaro_winkler(x, y) for x, y in zip(a, b)])
+    assert np.array_equal(got, exp)
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcd ", max_size=30),
+                          st.text(alphabet="abcd ", max_size=30)),
+                min_size=1, max_size=25))
+@settings(max_examples=80, deadline=None)
+def test_monge_elkan_batch_vectorized_equals_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = S.monge_elkan_batch(a, b)
+    exp = np.array([S.monge_elkan(x, y) for x, y in zip(a, b)])
+    assert np.array_equal(got, exp)
