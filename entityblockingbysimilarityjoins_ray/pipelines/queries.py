@@ -1261,18 +1261,59 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_embed_dup_pairs_lsh(sf_dir: str):
-    """Distributed banded LSH near-dup mode (rows-only: recall<1 is the
-    semantics; pytest holds the LSH⊆bruteforce + exact-precision oracle;
-    broadcast_limit=0 forces the join-path verify so the run exercises the
-    never-collect scale path).  threshold 0.4 is LOW for hyperplane LSH, so
-    the bands are short-and-many (24 x 6 => ~0.8 recall at theta ~66 deg;
-    the 32 x 16 default targets the usual >= 0.95 near-dup regime)."""
+    """Distributed banded LSH near-dup mode (broadcast_limit=0 forces the
+    join-path verify so the run exercises the never-collect scale path).
+    threshold 0.4 is LOW for hyperplane LSH, so the bands are short-and-many
+    (24 x 6 => ~0.8 recall at theta ~66 deg; the 32 x 16 default targets the
+    usual >= 0.95 near-dup regime).  The SQL twin (_sql_embed_lsh) replays
+    the SAME seeded hyperplanes as literal constants, so recall<1 is
+    deterministic and oracle-checkable, not rows-only."""
     from ..stages.dedup import embedding_dup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_dup_pairs(emb, threshold=0.4, mode="lsh", broadcast_limit=0,
                               n_bands=24, band_bits=6)
     return out.select_columns(["id1", "id2"])
+
+
+def _sql_embed_lsh(dim: int = 64, n_bands: int = 24, band_bits: int = 6,
+                   seed: int = 42, threshold: float = 0.4) -> str:
+    """DuckDB twin of q_embed_dup_pairs_lsh: the seeded hyperplane matrix
+    (same np.random.default_rng(seed) draw the Ray path broadcasts) is
+    emitted as DOUBLE[] literals (repr() roundtrips each float64 exactly),
+    signing is list_dot_product > 0, the band key replays the salted-XOR
+    grouping (splitmix constant, UHUGEINT mod-2^64 like the minhash oracle)
+    so even cross-band key collisions agree with the engine, and the final
+    filter is the exact cosine verify.  ``dim`` is pinned to the testdata's
+    embedding width — the Ray path infers it from the schema, a static SQL
+    string cannot.  Sign/threshold FP caveat: SQL sums dots sequentially,
+    numpy via BLAS; they only disagree when |dot| or |cos - t| is within
+    accumulated rounding (~1e-13 relative) — never observed on the seeded
+    fixtures."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_bands * band_bits))
+    rows = ",\n  ".join(
+        f"({p}, [{','.join(repr(float(v)) for v in planes[:, p])}]::DOUBLE[])"
+        for p in range(n_bands * band_bits))
+    return f"""WITH planes(p, vec) AS (VALUES
+  {rows}),
+dots AS (
+  SELECT e.vec_id, pl.p, list_dot_product(e.embedding::DOUBLE[], pl.vec) AS dp
+  FROM embeddings e CROSS JOIN planes pl),
+keys AS (
+  SELECT vec_id,
+         xor(sum(CASE WHEN dp > 0 THEN 1::BIGINT << (p % {band_bits}) ELSE 0 END)::UBIGINT,
+             (((p // {band_bits})::UHUGEINT * 11400714819323198485::UHUGEINT)
+              % 18446744073709551616::UHUGEINT)::UBIGINT) AS skey
+  FROM dots GROUP BY vec_id, p // {band_bits}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM keys a JOIN keys b ON a.skey = b.skey AND a.vec_id < b.vec_id)
+SELECT c.id1, c.id2
+FROM cands c
+JOIN embeddings e1 ON e1.vec_id = c.id1
+JOIN embeddings e2 ON e2.vec_id = c.id2
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {threshold}"""
 
 
 def q_text_stats(sf_dir: str):
@@ -1773,6 +1814,8 @@ ORACLES = {
     "er_f1_report": _sql_er_f1(),
     "rule_recall": _sql_rule_recall(),
     "sample_down": _sql_sample_down(),
-    # rows-only (no SQL twin): embed_dup_pairs_lsh, ic_graph,
-    # multimodal_decode, group_values, er_zeroer
+    "embed_dup_pairs_lsh": _sql_embed_lsh(),
+    # rows-only (no SQL twin — genuinely non-SQL semantics): ic_graph and
+    # group_values (PPMI-SVD embedding cosine), er_zeroer (EM iteration),
+    # multimodal_decode (binary image/audio codecs)
 }

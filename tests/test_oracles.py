@@ -64,7 +64,7 @@ ORACLE_NAMES = [
     "tpch_pricing", "tpch_top_customers",
     "simhash_docs", "fingerprint_winnow", "ann_topk_ivf",
     "minhash_lsh_docs", "er_f1_report", "rule_recall", "sample_down",
-    "dedup_near_docs",
+    "dedup_near_docs", "embed_dup_pairs_lsh",
 ]
 
 
@@ -80,8 +80,7 @@ def test_query_matches_oracle(contract, con, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
-ROWS_ONLY = ["multimodal_decode", "group_values",
-             "embed_dup_pairs_lsh", "ic_graph", "er_zeroer"]
+ROWS_ONLY = ["multimodal_decode", "group_values", "ic_graph", "er_zeroer"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
