@@ -80,6 +80,26 @@ def test_query_matches_oracle(contract, con, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
+# Representative queries spanning every broadcast-or-hash_join verify family
+# (set-sim self join, RS join, wide join, CC clustering, minhash dedup): with
+# GRAFT_BROADCAST_LIMIT=0 every gate lands on the join/demand-semi-join path —
+# the one a beyond-broadcast (100x-scale) run actually takes — and the output
+# must stay oracle-identical.
+JOIN_PATH_NAMES = ["block_jac", "block_jac_rs", "megallen_wide",
+                   "cluster_jac", "minhash_lsh_docs", "dedup_token_jac_docs"]
+
+
+@pytest.mark.parametrize("name", JOIN_PATH_NAMES)
+def test_query_matches_oracle_join_path(contract, con, name, monkeypatch):
+    monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "0")
+    qs = contract.queries()
+    sql = contract.oracle_sql()
+    got = _norm(_to_pandas(qs[name](SF_DIR)))
+    exp = _norm(con.sql(sql[name]).df())
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
 ROWS_ONLY = ["multimodal_decode", "group_values", "ic_graph", "er_zeroer"]
 
 
