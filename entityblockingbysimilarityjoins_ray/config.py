@@ -161,6 +161,13 @@ class PipelineConfig:
     broadcast_limit: int = 2_000_000  # max records for broadcast verify (else Dataset.join)
     broadcast_bytes_limit: int = 4 << 30  # max estimated bytes for any broadcast state
     include_empty_pairs: bool = True  # jaccard(empty, empty) == 1.0 (simfunc.cc:129-130)
+    # beyond-broadcast verify: token index written as Parquet shards (shard =
+    # hash(id) % S); pairs shuffle ONCE to (shard(k1), shard(k2)) grid cells
+    # and each cell reads just its two shards.  None -> ~sqrt(pair_partitions)
+    # so grid cells ~ pair_partitions; at real scale set so one shard
+    # (index_bytes / S) fits a worker's heap alongside a pair batch.
+    verify_shards: int | None = None
+    shard_store_dir: str | None = None  # scratch root (None -> tempdir; cluster storage at scale)
 
     # --- matching ---
     match_threshold: float = 0.6

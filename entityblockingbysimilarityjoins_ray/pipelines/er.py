@@ -70,6 +70,7 @@ class _SetsimShared:
                 "toks": toks,
                 "broadcast": broadcast,
                 "verify_ref": None,
+                "shard_store": None,
                 "empty_ids": B.empty_record_ids(toks) if self.cfg.include_empty_pairs else [],
             }
             if broadcast:
@@ -83,6 +84,13 @@ class _SetsimShared:
                 entry["df_ref"] = _ray.put(df_table)
             else:
                 entry["df_ref"] = _ray.put(B.build_df_table(toks))
+                # ONE sharded token store per tokenization, shared by every
+                # rule taking the beyond-broadcast grid-verify path
+                from ..stages.verify import build_token_shard_store
+
+                entry["shard_store"] = build_token_shard_store(
+                    toks, num_shards=B.verify_shards(self.cfg),
+                    store_dir=self.cfg.shard_store_dir)
             self._by_key[key] = entry
         return self._by_key[key]
 
@@ -103,7 +111,7 @@ def run_rule(
             st["toks"], sim=rule.sim, threshold=rule.threshold, cfg=cfg,
             df_ref=st["df_ref"], broadcast=st["broadcast"],
             verify_ref=st["verify_ref"], empty_ids=st["empty_ids"],
-            n_records=shared.n_records(),
+            n_records=shared.n_records(), shard_store=st["shard_store"],
         )
     if rule.sim == "exm":
         return B.exact_self_join(docs, rule.attr, cfg)
@@ -173,7 +181,7 @@ def block(
                     st["toks"], [(g.sim, g.threshold) for g in grp], cfg,
                     df_ref=st["df_ref"], broadcast=st["broadcast"],
                     verify_ref=st["verify_ref"], empty_ids=st["empty_ids"],
-                    n_records=shared.n_records(),
+                    n_records=shared.n_records(), shard_store=st["shard_store"],
                 )
             )
     per_rule.extend(run_rule(docs, r, cfg, shared) for r in others)

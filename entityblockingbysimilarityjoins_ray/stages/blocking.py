@@ -50,7 +50,6 @@ from ..functions.hashing import (
     within_group_pairs,
 )
 from ..functions.tokenize import tokens_list_array
-from .verify import verify_pairs
 
 logger = logging.getLogger(__name__)
 
@@ -514,6 +513,16 @@ def _pairgen_bucket(
     )
 
 
+def verify_shards(cfg: PipelineConfig) -> int:
+    """Shard count S for the beyond-broadcast grid verify: grid cells = S^2,
+    sized ~ cfg.pair_partitions so cell parallelism matches the pair fan-out.
+    At real scale set cfg.verify_shards explicitly from index bytes (one
+    shard must fit a worker's heap next to a pair batch)."""
+    if cfg.verify_shards is not None:
+        return cfg.verify_shards
+    return max(8, int(np.ceil(np.sqrt(cfg.pair_partitions))))
+
+
 def survivor_partitions(cfg: PipelineConfig) -> int:
     """Bucket count for SURVIVOR-level dedups (post-verify rows): survivors
     are orders of magnitude fewer than candidates, so a groupby at the full
@@ -728,6 +737,7 @@ def setsim_self_join(
     verify_ref=None,
     empty_ids: list | None = None,
     in_join_topk: int | None = None,
+    shard_store: dict | None = None,
 ) -> "ray.data.Dataset":
     """Threshold set-similarity self-join (jac/cos/dice >= δ, or overlap >= c).
 
@@ -791,24 +801,25 @@ def setsim_self_join(
         )
         verified = dedupe_rule_rows(rows, survivor_partitions(cfg))
     else:
+        # beyond-broadcast: slim (k1, k2) candidates shuffle ONCE to grid
+        # cells of a sharded token store — no token list ever crosses a
+        # shuffle, worker memory bounded by two shards (see verify.py)
+        from .verify import build_token_shard_store, verify_pairs_sharded
+
         candidates = sigs.groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
                        "max_group_size": cfg.max_group_size,
-                       "ids_out": True},
+                       "ids_out": False},
             batch_format="pyarrow",
         )
-        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-        verified = verify_pairs(
-            candidates,
-            toks_ds,
-            sim=sim,
-            threshold=threshold,
-            broadcast=False,
-            num_partitions=cfg.pair_partitions,
-            canonicalize_output=True,  # pairgen emits hash-ordered ids
-        )
+        if shard_store is None:
+            shard_store = build_token_shard_store(
+                toks_ds, num_shards=verify_shards(cfg),
+                store_dir=cfg.shard_store_dir)
+        verified = verify_pairs_sharded(
+            candidates, shard_store, sim=sim, threshold=threshold)
     if in_join_topk is not None:
         from .topk import topk_pairs
 
@@ -839,6 +850,7 @@ def setsim_self_join_multi(
     verify_ref=None,
     empty_ids: list | None = None,
     n_records: int | None = None,
+    shard_store: dict | None = None,
 ) -> "ray.data.Dataset":
     """FUSED multi-rule set-sim self-join: several (sim, threshold) rules over
     the SAME tokenization run as ONE signature -> pairgen -> dedup -> verify
@@ -896,24 +908,20 @@ def setsim_self_join_multi(
         )
         verified = dedupe_rule_rows(rows, survivor_partitions(cfg))
     else:
+        from .verify import build_token_shard_store, verify_pairs_sharded
+
         candidates = sigs.groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
                        "max_group_size": cfg.max_group_size,
-                       "ids_out": True},
+                       "ids_out": False},
             batch_format="pyarrow",
         )
-        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-        verified = verify_pairs(
-            candidates,
-            toks_ds,
-            sim=None,
-            threshold=None,
-            rules=rules,
-            broadcast=False,
-            num_partitions=cfg.pair_partitions,
-            canonicalize_output=True,
-        )
+        if shard_store is None:
+            shard_store = build_token_shard_store(
+                toks_ds, num_shards=verify_shards(cfg),
+                store_dir=cfg.shard_store_dir)
+        verified = verify_pairs_sharded(candidates, shard_store, rules=rules)
     n_empty_rules = sum(
         1 for s, t in rules if s in ("jac", "cos", "dice") and t <= 1.0
     )
@@ -1120,20 +1128,24 @@ def setsim_rs_join(
         )
         verified = dedupe_rule_rows(rows, survivor_partitions(cfg))
     else:
+        from .verify import build_token_shard_store, verify_pairs_sharded
+
         candidates = sigs_a.union(sigs_b).groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
-                       "max_group_size": cfg.max_group_size, "rs": True},
+                       "max_group_size": cfg.max_group_size, "rs": True,
+                       "ids_out": False},
             batch_format="pyarrow",
         )
-        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-        from .verify import verify_pairs_rs
-
-        verified = verify_pairs_rs(
-            candidates, toks_a, toks_b, sim=sim, threshold=threshold,
-            broadcast=False, num_partitions=cfg.pair_partitions,
-        )
+        ns = verify_shards(cfg)
+        store_a = build_token_shard_store(toks_a, num_shards=ns,
+                                          store_dir=cfg.shard_store_dir)
+        store_b = build_token_shard_store(toks_b, num_shards=ns,
+                                          store_dir=cfg.shard_store_dir)
+        verified = verify_pairs_sharded(
+            candidates, store_a, sim=sim, threshold=threshold,
+            store_b=store_b)
     if sim in ("jac", "cos", "dice") and cfg.include_empty_pairs and threshold <= 1.0:
         ep = _empty_pairs_rs_ds(empty_record_ids(toks_a), empty_record_ids(toks_b))
         if ep is not None:

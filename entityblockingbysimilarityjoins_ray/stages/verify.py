@@ -741,3 +741,220 @@ def verify_pairs_rs(
         pairs_ds, toks_a, toks_b=toks_b, sim=sim, threshold=threshold,
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# sharded-index grid verify (the beyond-broadcast scale path for the
+# set-similarity blocking family)
+# ---------------------------------------------------------------------------
+#
+# Why not the demand semi-join above?  Measured at sf0.1, the fused
+# jac+cos rule pair emits ~59.5M raw candidates over 50k records (~1,190
+# partners/record on dup-dense data), so "ship each record's token list once
+# per needing bucket" degenerates: nearly every record is needed by nearly
+# every bucket and the list shuffle approaches pairs x list-bytes (tens of
+# GB; the 8-cpu sf0.1 run spilled the local disk full).  The grid design
+# moves NO token lists through a shuffle at all:
+#
+#   1. the token index is written ONCE as Parquet partitioned by
+#      shard = hash(id) % S (a map-only pass — no shuffle, and at real scale
+#      the store lands on cluster storage and doubles as a stage checkpoint);
+#   2. slim 16-byte (k1, k2) candidates shuffle ONCE to grid cell
+#      (shard(k1), shard(k2));
+#   3. each cell task reads just its two shards (column-pruned Parquet read,
+#      cached per worker) and runs the same dense-relabel + bitmap-run
+#      overlap kernel as the broadcast path.
+#
+# Worker memory is bounded by two shards + one cell regardless of total
+# index size; duplicate candidates (one per shared signature token surviving
+# pair-gen's bucket-local dedup) all land in the SAME cell, so the
+# cell-local dedup is globally exact and no survivor-level dedup shuffle is
+# needed.  Replaces the reference's shared-memory verification
+# (setjoin_parallel.h:334-370) for indexes too large to broadcast.
+
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 32
+
+
+def build_token_shard_store(
+    toks_ds: "ray.data.Dataset", *, num_shards: int,
+    store_dir: str | None = None,
+) -> dict:
+    """Write ``toks_ds`` (conv_id, toks) as a Parquet store partitioned by
+    ``shard = hash(conv_id) % num_shards``; returns ``{"path", "num_shards"}``.
+
+    Map-only (no shuffle): each task routes its rows and the Parquet writer
+    splits them into the shard=N directories.  The id hash is the same
+    ``hash_strings`` the pair pipeline keys on, so cell tasks can look
+    records up by the (k1, k2) values pair generation emitted."""
+    import os
+    import tempfile
+
+    from ..functions.hashing import bucket_of, hash_strings
+
+    # ``store_dir`` is a ROOT (cluster storage at scale): every store gets a
+    # fresh subdirectory so concurrent rules/tokenizations never collide
+    if store_dir is not None:
+        os.makedirs(store_dir, exist_ok=True)
+    store_dir = tempfile.mkdtemp(prefix="ebsj_shards_", dir=store_dir)
+
+    def route(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
+                         dtype=object)
+        idh = hash_strings(ids)
+        c = t.column("toks")
+        return pa.table({
+            "shard": pa.array(bucket_of(idh, num_shards).astype(np.int32),
+                              pa.int32()),
+            "idh": pa.array(idh, pa.int64()),
+            "conv_id": pa.array(ids.astype("U"), pa.string()),
+            "toks": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+        })
+
+    (toks_ds.select_columns(["conv_id", "toks"])
+        .map_batches(route, batch_format="pyarrow")
+        .write_parquet(store_dir, partition_cols=["shard"]))
+    return {"path": store_dir, "num_shards": int(num_shards)}
+
+
+def _load_shard(store: dict, shard: int):
+    """Worker-cached load of one shard: (idh Index, id strings, flat token
+    values, offsets).  A shard directory missing entirely means no record
+    hashed there (tiny inputs) — an empty shard."""
+    key = (store["path"], int(shard))
+    got = _SHARD_CACHE.get(key)
+    if got is not None:
+        return got
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(store["path"], f"shard={int(shard)}")
+    if os.path.isdir(path):
+        t = pq.read_table(path, columns=["idh", "conv_id", "toks"])
+        idh = np.asarray(t.column("idh").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
+                         dtype=object)
+        vals, offs = S.flatten_lists(t.column("toks"))
+    else:
+        idh = np.empty(0, np.int64)
+        ids = np.empty(0, object)
+        vals, offs = np.empty(0, np.int64), np.zeros(1, np.int64)
+    idx = pd.Index(idh)
+    if not idx.is_unique:
+        raise RuntimeError(
+            "64-bit id-hash collision inside a verify shard; the hash-keyed "
+            "pair pipeline is unsound for this id set"
+        )
+    got = (idx, ids, vals.astype(np.int64, copy=False), offs)
+    while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    _SHARD_CACHE[key] = got
+    return got
+
+
+_EMPTY_VERIFIED = pa.table({
+    "id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+    "sim": pa.array([], pa.float64()),
+})
+
+
+def verify_pairs_sharded(
+    pairs_ds: "ray.data.Dataset",
+    store: dict,
+    *,
+    sim: str | None = None,
+    threshold: float | None = None,
+    rules: list[tuple[str, float]] | None = None,
+    store_b: dict | None = None,
+) -> "ray.data.Dataset":
+    """Grid-verify slim ``(k1, k2)`` id-hash candidate pairs against a
+    sharded token store; emits globally-deduped ``{id1, id2, sim}`` — one
+    row per (pair, passing rule), self-join ids lex-canonicalized.
+
+    ``store_b``: RS mode — k1 resolves in ``store`` (table A), k2 in
+    ``store_b`` (table B); ids keep (A, B) order."""
+    from ..functions.hashing import bucket_of
+
+    rl = rules if rules is not None else [(sim, threshold)]
+    n_shards = store["num_shards"]
+    rs = store_b is not None
+    if rs and store_b["num_shards"] != n_shards:
+        raise ValueError("RS verify requires equal shard counts")
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        cell = bucket_of(k1, n_shards) * n_shards + bucket_of(k2, n_shards)
+        return pa.table({
+            "cell": pa.array(cell.astype(np.int32), pa.int32()),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+        })
+
+    def verify_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_VERIFIED
+        cell = int(t.column("cell")[0].as_py())
+        s1, s2 = cell // n_shards, cell % n_shards
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        # duplicates from distinct pair-gen buckets all map to this cell:
+        # local (k1, k2) dedup is globally exact
+        order = np.lexsort((k2, k1))
+        k1, k2 = k1[order], k2[order]
+        first = np.ones(k1.size, bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        k1, k2 = k1[first], k2[first]
+        sh1 = _load_shard(store, s1)
+        same = not rs and s2 == s1
+        sh2 = sh1 if same else _load_shard(store_b if rs else store, s2)
+        idx1, ids1, vals1, offs1 = sh1
+        idx2, ids2, vals2, offs2 = sh2
+        r1 = idx1.get_indexer(k1)
+        r2 = idx2.get_indexer(k2)
+        ok = (r1 >= 0) & (r2 >= 0)
+        r1, r2 = r1[ok], r2[ok]
+        if r1.size == 0:
+            return _EMPTY_VERIFIED
+        if same:
+            vals_all, offs_all, R2 = vals1, offs1, r2
+        else:
+            vals_all = np.concatenate([vals1, vals2])
+            offs_all = np.concatenate([offs1, offs1[-1] + offs2[1:]])
+            R2 = r2 + (offs1.size - 1)
+        uni = np.unique(vals_all)
+        dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
+        labels = np.searchsorted(uni, vals_all).astype(dt)
+        ovlp = overlap_auto(labels, offs_all, int(uni.size) + 1, r1, R2)
+        lens = np.diff(offs_all)
+        la, lb = lens[r1], lens[R2]
+        a_ids = ids1[r1].astype("U")
+        b_ids = ids2[r2].astype("U")
+        p1, p2, ps = [], [], []
+        for s_name, thr in rl:
+            s = (ovlp.astype(np.float64) if s_name == "overlap"
+                 else S.set_sims_from_overlap(ovlp, la, lb, s_name))
+            keep = s >= thr
+            if not keep.any():
+                continue
+            a, b = a_ids[keep], b_ids[keep]
+            if not rs:
+                swap = a > b
+                a, b = np.where(swap, b, a), np.where(swap, a, b)
+            p1.append(a)
+            p2.append(b)
+            ps.append(s[keep])
+        if not p1:
+            return _EMPTY_VERIFIED
+        return pa.table({
+            "id1": pa.array(np.concatenate(p1), pa.string()),
+            "id2": pa.array(np.concatenate(p2), pa.string()),
+            "sim": pa.array(np.concatenate(ps), pa.float64()),
+        })
+
+    return (pairs_ds.select_columns(["k1", "k2"])
+            .map_batches(add_cell, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(verify_cell, batch_format="pyarrow"))

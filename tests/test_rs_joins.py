@@ -193,3 +193,22 @@ def test_empty_pairs_rs_driver_and_distributed_agree(ray_session):
     small = _empty_pairs_rs_ds(ea, eb).to_pandas()
     assert len(small) == 63
     assert set(zip(small["id1"], small["id2"])) == {(x, y) for x in ea for y in eb}
+
+
+def test_setsim_rs_broadcast_and_sharded_paths_identical(tiny_docs):
+    """Forcing the beyond-broadcast gate routes the RS join through the
+    sharded-grid verify (two Parquet shard stores, one slim pair shuffle);
+    output must equal the broadcast path's row-for-row."""
+    docs, pdocs = tiny_docs
+    a, b = _split(pdocs)
+    toks_a = B.tokenize_docs(ray.data.from_pandas(a), "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(ray.data.from_pandas(b), "doc", "dlm").materialize()
+    bc = B.setsim_rs_join(toks_a, toks_b, sim="jac", threshold=0.5,
+                          cfg=_cfg()).to_pandas()
+    sh = B.setsim_rs_join(toks_a, toks_b, sim="jac", threshold=0.5,
+                          cfg=_cfg(broadcast_limit=0, broadcast_bytes_limit=0,
+                                   verify_shards=3)).to_pandas()
+    ka = bc.sort_values(["id1", "id2"]).reset_index(drop=True)
+    kb = sh.sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ka[["id1", "id2"]], kb[["id1", "id2"]])
+    np.testing.assert_allclose(ka["sim"].to_numpy(), kb["sim"].to_numpy(), atol=1e-12)

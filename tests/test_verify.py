@@ -1,0 +1,97 @@
+"""Sharded-index grid verify (the beyond-broadcast scale path): store build,
+cell-local global dedup, multi-rule rows, RS side order — all vs brute force.
+Reference semantics: exact overlap verification, setjoin_parallel.h:334-370."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from entityblockingbysimilarityjoins_ray.functions.hashing import hash_strings
+from entityblockingbysimilarityjoins_ray.stages.verify import (
+    build_token_shard_store,
+    verify_pairs_sharded,
+)
+
+
+def _mk_toks(rows):
+    return ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "toks": pa.array([sorted(set(r[1])) for r in rows],
+                         pa.list_(pa.int64())),
+    }))
+
+
+def _hashes(rows):
+    ids = np.array([r[0] for r in rows], dtype=object)
+    return dict(zip(ids, hash_strings(ids)))
+
+
+def test_sharded_verify_dedups_and_matches_bruteforce(ray_session):
+    """Duplicate slim candidates (one per shared signature token) must
+    collapse to ONE output row per (pair, passing rule); sims exact."""
+    rows = [("a", [1, 2, 3, 4]), ("b", [1, 2, 3, 9]), ("c", [1, 2, 8, 9]),
+            ("d", [7, 8]), ("e", [5, 6, 7, 8])]
+    store = build_token_shard_store(_mk_toks(rows), num_shards=3)
+    h = _hashes(rows)
+    cand = []
+    for x, y in itertools.combinations(sorted(h), 2):
+        k1, k2 = sorted((int(h[x]), int(h[y])))
+        cand.append((k1, k2))
+        cand.append((k1, k2))  # duplicate from a second signature bucket
+    pairs = ray.data.from_arrow(pa.table({
+        "k1": pa.array([c[0] for c in cand], pa.int64()),
+        "k2": pa.array([c[1] for c in cand], pa.int64()),
+    }))
+    got = verify_pairs_sharded(
+        pairs, store, rules=[("jac", 0.5), ("overlap", 3)]).to_pandas()
+    bags = {r[0]: set(r[1]) for r in rows}
+    exp = []
+    for x, y in itertools.combinations(sorted(bags), 2):
+        o = len(bags[x] & bags[y])
+        j = o / len(bags[x] | bags[y])
+        if j >= 0.5:
+            exp.append((x, y, j))
+        if o >= 3:
+            exp.append((x, y, float(o)))
+    got_t = sorted(zip(got["id1"], got["id2"], got["sim"]))
+    assert got_t == sorted(exp)
+
+
+def test_sharded_verify_rs_keeps_side_order(ray_session):
+    a_rows = [("a1", [1, 2, 3]), ("a2", [4, 5, 6, 7])]
+    b_rows = [("b1", [1, 2, 3, 4]), ("b2", [6, 7])]
+    store_a = build_token_shard_store(_mk_toks(a_rows), num_shards=2)
+    store_b = build_token_shard_store(_mk_toks(b_rows), num_shards=2)
+    ha, hb = _hashes(a_rows), _hashes(b_rows)
+    cand = [(int(ha[x]), int(hb[y])) for x in sorted(ha) for y in sorted(hb)]
+    pairs = ray.data.from_arrow(pa.table({
+        "k1": pa.array([c[0] for c in cand], pa.int64()),
+        "k2": pa.array([c[1] for c in cand], pa.int64()),
+    }))
+    got = verify_pairs_sharded(pairs, store_a, sim="jac", threshold=0.5,
+                               store_b=store_b).to_pandas()
+    pairs_set = set(zip(got["id1"], got["id2"]))
+    # jaccard: (a1,b1)=3/4, (a2,b2)=2/4, (a1,b2)=0, (a2,b1)=1/7
+    assert pairs_set == {("a1", "b1"), ("a2", "b2")}
+    # id1 stays the A-side record (no lexicographic canonicalization in RS)
+    assert all(i1.startswith("a") and i2.startswith("b")
+               for i1, i2 in pairs_set)
+
+
+def test_sharded_verify_unknown_keys_dropped(ray_session):
+    """Candidate keys absent from the store (defensive) are dropped, not
+    crashed on."""
+    rows = [("a", [1, 2, 3]), ("b", [1, 2, 3])]
+    store = build_token_shard_store(_mk_toks(rows), num_shards=2)
+    h = _hashes(rows)
+    k1, k2 = sorted((int(h["a"]), int(h["b"])))
+    pairs = ray.data.from_arrow(pa.table({
+        "k1": pa.array([k1, 12345], pa.int64()),
+        "k2": pa.array([k2, 67890], pa.int64()),
+    }))
+    got = verify_pairs_sharded(pairs, store, sim="jac", threshold=0.5).to_pandas()
+    assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
