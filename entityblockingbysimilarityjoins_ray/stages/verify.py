@@ -288,10 +288,9 @@ def verify_pairs(
             # the bitmap kernel's run amortization is already saturated at 8k
             batch_size=8192,
         )
-    return verify_pairs_grouped(
-        pairs_ds, toks_ds, sim=sim, threshold=threshold,
+    return verify_pairs_sharded_from_ids(
+        pairs_ds, toks_ds, sim=sim, threshold=threshold, rules=rules,
         num_partitions=num_partitions,
-        canonicalize_output=canonicalize_output, rules=rules,
     )
 
 
@@ -737,7 +736,7 @@ def verify_pairs_rs(
             batch_format="pyarrow",
             batch_size=8192,
         )
-    return verify_pairs_grouped(
+    return verify_pairs_sharded_from_ids(
         pairs_ds, toks_a, toks_b=toks_b, sim=sim, threshold=threshold,
         num_partitions=num_partitions,
     )
@@ -802,19 +801,26 @@ def build_token_shard_store(
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
                          dtype=object)
         idh = hash_strings(ids)
-        c = t.column("toks")
+        c = t.column("conv_id")
+        ct = t.column("toks")
         return pa.table({
             "shard": pa.array(bucket_of(idh, num_shards).astype(np.int32),
                               pa.int32()),
             "idh": pa.array(idh, pa.int64()),
-            "conv_id": pa.array(ids.astype("U"), pa.string()),
-            "toks": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+            # id column kept at its ORIGINAL dtype (int ids stay ints in the
+            # verify output, matching the id-carrying pair paths)
+            "conv_id": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+            "toks": ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct,
         })
 
+    from .joins import _pa_schema
+
+    id_type = _pa_schema(toks_ds).field("conv_id").type
     (toks_ds.select_columns(["conv_id", "toks"])
         .map_batches(route, batch_format="pyarrow")
         .write_parquet(store_dir, partition_cols=["shard"]))
-    return {"path": store_dir, "num_shards": int(num_shards)}
+    return {"path": store_dir, "num_shards": int(num_shards),
+            "id_type": id_type}
 
 
 def _load_shard(store: dict, shard: int):
@@ -854,10 +860,11 @@ def _load_shard(store: dict, shard: int):
     return got
 
 
-_EMPTY_VERIFIED = pa.table({
-    "id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-    "sim": pa.array([], pa.float64()),
-})
+def _empty_verified(id1_type, id2_type) -> pa.Table:
+    return pa.table({
+        "id1": pa.array([], id1_type), "id2": pa.array([], id2_type),
+        "sim": pa.array([], pa.float64()),
+    })
 
 
 def verify_pairs_sharded(
@@ -882,6 +889,9 @@ def verify_pairs_sharded(
     rs = store_b is not None
     if rs and store_b["num_shards"] != n_shards:
         raise ValueError("RS verify requires equal shard counts")
+    id1_t = store["id_type"]
+    id2_t = (store_b if rs else store)["id_type"]
+    empty = _empty_verified(id1_t, id2_t)
 
     def add_cell(t: pa.Table) -> pa.Table:
         k1 = np.asarray(t.column("k1"), dtype=np.int64)
@@ -895,7 +905,7 @@ def verify_pairs_sharded(
 
     def verify_cell(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _EMPTY_VERIFIED
+            return empty
         cell = int(t.column("cell")[0].as_py())
         s1, s2 = cell // n_shards, cell % n_shards
         k1 = np.asarray(t.column("k1"), dtype=np.int64)
@@ -917,7 +927,7 @@ def verify_pairs_sharded(
         ok = (r1 >= 0) & (r2 >= 0)
         r1, r2 = r1[ok], r2[ok]
         if r1.size == 0:
-            return _EMPTY_VERIFIED
+            return empty
         if same:
             vals_all, offs_all, R2 = vals1, offs1, r2
         else:
@@ -930,8 +940,8 @@ def verify_pairs_sharded(
         ovlp = overlap_auto(labels, offs_all, int(uni.size) + 1, r1, R2)
         lens = np.diff(offs_all)
         la, lb = lens[r1], lens[R2]
-        a_ids = ids1[r1].astype("U")
-        b_ids = ids2[r2].astype("U")
+        a_ids = ids1[r1]
+        b_ids = ids2[r2]
         p1, p2, ps = [], [], []
         for s_name, thr in rl:
             s = (ovlp.astype(np.float64) if s_name == "overlap"
@@ -947,10 +957,10 @@ def verify_pairs_sharded(
             p2.append(b)
             ps.append(s[keep])
         if not p1:
-            return _EMPTY_VERIFIED
+            return empty
         return pa.table({
-            "id1": pa.array(np.concatenate(p1), pa.string()),
-            "id2": pa.array(np.concatenate(p2), pa.string()),
+            "id1": pa.array(np.concatenate(p1), id1_t),
+            "id2": pa.array(np.concatenate(p2), id2_t),
             "sim": pa.array(np.concatenate(ps), pa.float64()),
         })
 
@@ -958,3 +968,44 @@ def verify_pairs_sharded(
             .map_batches(add_cell, batch_format="pyarrow")
             .groupby("cell")
             .map_groups(verify_cell, batch_format="pyarrow"))
+
+
+def verify_pairs_sharded_from_ids(
+    pairs_ds: "ray.data.Dataset",
+    toks_ds: "ray.data.Dataset",
+    *,
+    sim: str | None = None,
+    threshold: float | None = None,
+    rules: list[tuple[str, float]] | None = None,
+    num_partitions: int = 64,
+    toks_b: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Grid-verify ``{id1, id2}`` STRING candidate pairs (minhash/sampler
+    surface): hash ids to the slim (k1, k2) form, build the shard store(s)
+    from the token dataset(s), and run ``verify_pairs_sharded``.  Self mode
+    hash-orders the pair (the grid cell must be deterministic per pair);
+    the verify re-canonicalizes output ids lexicographically."""
+    from ..functions.hashing import hash_strings
+
+    rs = toks_b is not None
+    n_shards = max(8, int(np.ceil(np.sqrt(num_partitions))))
+    store = build_token_shard_store(toks_ds, num_shards=n_shards)
+    store_b = (build_token_shard_store(toks_b, num_shards=n_shards)
+               if rs else None)
+
+    def slim(t: pa.Table) -> pa.Table:
+        i1 = hash_strings(np.asarray(
+            t.column("id1").to_numpy(zero_copy_only=False), dtype=object))
+        i2 = hash_strings(np.asarray(
+            t.column("id2").to_numpy(zero_copy_only=False), dtype=object))
+        if rs:
+            k1, k2 = i1, i2
+        else:
+            k1, k2 = np.minimum(i1, i2), np.maximum(i1, i2)
+        return pa.table({"k1": pa.array(k1, pa.int64()),
+                         "k2": pa.array(k2, pa.int64())})
+
+    slimmed = pairs_ds.select_columns(["id1", "id2"]).map_batches(
+        slim, batch_format="pyarrow")
+    return verify_pairs_sharded(slimmed, store, sim=sim, threshold=threshold,
+                                rules=rules, store_b=store_b)
