@@ -349,8 +349,9 @@ def demand_semijoin_apply(
     key_col: str = "conv_id",
 ):
     """Generic demand-semi-join co-partition for pair-vs-record operators
-    (the beyond-broadcast 100x path shared by verify and feature
-    extraction; see verify.verify_pairs_grouped for the design rationale):
+    (the beyond-broadcast path for PER-PAIR payload application, e.g.
+    feature extraction; similarity verifies use verify.verify_pairs_sharded
+    instead — an index is shardable, per-pair feature state is not):
 
     1. pairs bucket by hash(id1);
     2. a dedup'd narrow (bucket, record-key-hash) DEMAND set shuffles;

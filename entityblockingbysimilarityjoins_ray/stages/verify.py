@@ -294,197 +294,6 @@ def verify_pairs(
     )
 
 
-_RS_B_SALT = np.int64(-0x61C8864680B583EB)  # splits A/B key spaces for RS
-
-
-def verify_pairs_grouped(
-    pairs_ds: "ray.data.Dataset",
-    toks_ds: "ray.data.Dataset",
-    *,
-    sim: str | None,
-    threshold: float | None,
-    num_partitions: int = 64,
-    canonicalize_output: bool = False,
-    rules: list[tuple[str, float]] | None = None,
-    toks_b: "ray.data.Dataset | None" = None,
-) -> "ray.data.Dataset":
-    """Beyond-broadcast verify WITHOUT per-pair list shipping.
-
-    The old join fallback shipped BOTH full token lists with every candidate
-    row (payload ~ pairs x avg list bytes — the dominant cost of the scale
-    path, and quadratic in cluster size on dup-dense data).  This is the
-    demand-semi-join co-partition instead:
-
-    1. pairs bucket by hash(id1) (16-byte (pb,k1,k2) + id strings);
-    2. a DEMAND set of distinct (bucket, record) keys is dedup-shuffled
-       (12-byte rows, <= 2x pair count before dedup);
-    3. token lists hash-join the demand — each record's list ships ONCE per
-       bucket that needs it, not once per pair;
-    4. verify runs bucket-locally with the SAME dense-relabel + bitmap-run
-       kernel as the broadcast path (pairs arrive k1-clustered, so the
-       r1-run bitmap fast path applies).
-
-    Output identical to the broadcast path: {id1, id2, sim}, one row per
-    (pair, passing rule)."""
-    from ..functions.hashing import bucket_of, hash_strings
-    from .joins import hash_join
-
-    rl = rules if rules is not None else [(sim, threshold)]
-    from .joins import _pa_schema
-
-    psch = _pa_schema(pairs_ds)
-    id1_t, id2_t = psch.field("id1").type, psch.field("id2").type
-    # NO NULLABLE COLUMNS cross the union/sort: Ray's sort can emit pandas
-    # blocks (observed when empty pandas-schema bundles mix in), and a
-    # nullable int64 coerces to float64 there — 64-bit hash keys lose
-    # precision and every index lookup silently misses.  Absent values are
-    # typed ZEROS plus an explicit row-type marker instead.
-    pairs_schema = pa.schema([
-        ("pb", pa.int32()), ("isp", pa.int8()),
-        ("k1", pa.int64()), ("k2", pa.int64()),
-        ("id1", id1_t), ("id2", id2_t),
-        ("toks", pa.list_(pa.int64())),
-    ])
-
-    def _zeros(n, typ):
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            return pa.nulls(n, typ).fill_null("")
-        return pa.nulls(n, typ).fill_null(0)
-
-    def _empty_lists(n):
-        return pa.ListArray.from_arrays(
-            pa.array(np.zeros(n + 1, np.int64)), pa.array([], pa.int64()))
-
-    rs = toks_b is not None
-
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        i1 = np.asarray(t.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-        i2 = np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object)
-        k1, k2 = hash_strings(i1), hash_strings(i2)
-        if rs:  # disjoint key spaces: an id shared by tables A and B must
-            k2 = k2 ^ _RS_B_SALT  # resolve to its OWN table's token list
-        c1, c2 = t.column("id1"), t.column("id2")
-        return pa.table({
-            "pb": pa.array(bucket_of(k1, num_partitions).astype(np.int32), pa.int32()),
-            "isp": pa.array(np.ones(len(i1), np.int8), pa.int8()),
-            "k1": pa.array(k1, pa.int64()), "k2": pa.array(k2, pa.int64()),
-            "id1": c1.combine_chunks() if isinstance(c1, pa.ChunkedArray) else c1,
-            "id2": c2.combine_chunks() if isinstance(c2, pa.ChunkedArray) else c2,
-            "toks": _empty_lists(len(i1)),
-        }, schema=pairs_schema)
-
-    # tagged feeds TWO consumers (the demand branch and the verify union);
-    # without materializing, Ray Data re-executes the full upstream lineage
-    # (pair generation included) once per branch
-    tagged = pairs_ds.select_columns(["id1", "id2"]).map_batches(
-        tag_pairs, batch_format="pyarrow").materialize()
-
-    # demand: distinct (pb, record-key) over both pair sides — a narrow int
-    # shuffle; dedup bounds the list replication to once per (bucket, record)
-    def emit_demand(t: pa.Table) -> pa.Table:
-        pb = np.asarray(t.column("pb"), dtype=np.int32)
-        k1 = np.asarray(t.column("k1"), dtype=np.int64)
-        k2 = np.asarray(t.column("k2"), dtype=np.int64)
-        pb2 = np.concatenate([pb, pb])
-        k = np.concatenate([k1, k2])
-        # batch-local pre-dedup shrinks the shuffle
-        u = np.unique(np.stack([pb2.astype(np.int64), k]), axis=1)
-        return pa.table({
-            "db": pa.array(bucket_of(u[1], num_partitions).astype(np.int32), pa.int32()),
-            "pb": pa.array(u[0].astype(np.int32), pa.int32()),
-            "k": pa.array(u[1], pa.int64()),
-        })
-
-    def dedup_demand(t: pa.Table) -> pa.Table:
-        pb = np.asarray(t.column("pb"), dtype=np.int64)
-        k = np.asarray(t.column("k"), dtype=np.int64)
-        u = np.unique(np.stack([pb, k]), axis=1)
-        return pa.table({"pb": pa.array(u[0].astype(np.int32), pa.int32()),
-                         "k": pa.array(u[1], pa.int64())})
-
-    demand = (tagged.map_batches(emit_demand, batch_format="pyarrow")
-              .groupby("db")
-              .map_groups(lambda g: dedup_demand(g.drop(["db"])),
-                          batch_format="pyarrow"))
-
-    def tag_toks(salt):
-        def f(t: pa.Table) -> pa.Table:
-            ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
-            c = t.column("toks")
-            kk = hash_strings(ids)
-            if salt is not None:
-                kk = kk ^ salt
-            return pa.table({
-                "kk": pa.array(kk, pa.int64()),
-                "tk": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
-            })
-
-        return f
-
-    toks_keyed = toks_ds.select_columns(["conv_id", "toks"]).map_batches(
-        tag_toks(None), batch_format="pyarrow")
-    if rs:
-        toks_keyed = toks_keyed.union(
-            toks_b.select_columns(["conv_id", "toks"]).map_batches(
-                tag_toks(_RS_B_SALT), batch_format="pyarrow"))
-    lists = hash_join(demand, toks_keyed, on="k", right_on="kk",
-                      num_partitions=num_partitions)
-
-    def shape_lists(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        tk = t.column("tk")
-        return pa.table({
-            "pb": t.column("pb"),
-            "isp": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "k1": t.column("k"),
-            "k2": _zeros(n, pa.int64()),
-            "id1": _zeros(n, id1_t),
-            "id2": _zeros(n, id2_t),
-            "toks": tk.fill_null([]) if isinstance(tk, pa.ChunkedArray)
-                    else pa.chunked_array([tk]).fill_null([]),
-        }, schema=pairs_schema)
-
-    lists_shaped = lists.map_batches(shape_lists, batch_format="pyarrow")
-
-    def verify_bucket(t: pa.Table) -> pa.Table:
-        isp = np.asarray(t.column("isp"), dtype=np.int8) == 1
-        lt = t.filter(pa.array(~isp))
-        pt = t.filter(pa.array(isp))
-        if pt.num_rows == 0:
-            return _emit_rule_rows(np.empty(0, object), np.empty(0, object),
-                                   np.empty(0, bool),
-                                   [(np.empty(0, np.float64), np.empty(0, bool))
-                                    for _ in rl],
-                                   canonicalize_output,
-                                   pt.select(["id1", "id2"]))
-        idx = pd.Index(np.asarray(lt.column("k1"), dtype=np.int64))
-        vals, offs = S.flatten_lists(lt.column("toks"))
-        uni = np.unique(vals)
-        dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
-        labels = np.searchsorted(uni, vals).astype(dt)
-        m = int(uni.size) + 1
-        r1 = idx.get_indexer(np.asarray(pt.column("k1"), dtype=np.int64))
-        r2 = idx.get_indexer(np.asarray(pt.column("k2"), dtype=np.int64))
-        ok = (r1 >= 0) & (r2 >= 0)
-        r1, r2 = r1[ok], r2[ok]
-        ovlp = overlap_auto(labels, offs, m, r1, r2)
-        la, lb = np.diff(offs)[r1], np.diff(offs)[r2]
-        ids1 = np.asarray(pt.column("id1").to_numpy(zero_copy_only=False), dtype=object)
-        ids2 = np.asarray(pt.column("id2").to_numpy(zero_copy_only=False), dtype=object)
-        sims_keeps = []
-        for s_name, thr in rl:
-            s = (ovlp.astype(np.float64) if s_name == "overlap"
-                 else S.set_sims_from_overlap(ovlp, la, lb, s_name))
-            sims_keeps.append((s, s >= thr))
-        return _emit_rule_rows(ids1, ids2, ok, sims_keeps, canonicalize_output,
-                               pt.select(["id1", "id2"]))
-
-    return (tagged.union(lists_shaped)
-            .groupby("pb")
-            .map_groups(lambda g: verify_bucket(g.drop(["pb"])),
-                        batch_format="pyarrow"))
-
-
 # ---------------------------------------------------------------------------
 # hash-keyed verification (slim int-only candidate pipeline)
 # ---------------------------------------------------------------------------
