@@ -131,15 +131,18 @@ def union_rules(
 ) -> "ray.data.Dataset":
     """OR-union per-rule pair sets; output {id1,id2,passed_rules,sim}."""
     assert rule_pairs
-    tagged = []
-    for ds in rule_pairs:
-        tagged.append(
-            ds.map_batches(
-                lambda df: df[["id1", "id2", "sim"]] if "sim" in df.columns
-                else df.assign(sim=np.nan)[["id1", "id2", "sim"]],
-                batch_format="pandas",
-            )
-        )
+    import pyarrow as pa
+
+    def norm(t: pa.Table) -> pa.Table:
+        # Arrow-native projection: the rule outputs arrive as thousands of
+        # small verify blocks, and a per-block pandas conversion here cost
+        # more than the whole union's real work
+        if "sim" in t.column_names:
+            return t.select(["id1", "id2", "sim"])
+        return t.select(["id1", "id2"]).append_column(
+            "sim", pa.array(np.full(t.num_rows, np.nan), pa.float64()))
+
+    tagged = [ds.map_batches(norm, batch_format="pyarrow") for ds in rule_pairs]
     unioned = tagged[0]
     for ds in tagged[1:]:
         unioned = unioned.union(ds)
