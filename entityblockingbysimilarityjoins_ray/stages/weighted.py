@@ -333,13 +333,23 @@ def setsim_self_join_weighted(
 
     ``round_to`` rounds the emitted sim (both here and in the SQL oracle) so
     float-summation order differences cannot flip the hash comparison."""
-    idx = weighted_token_index(toks_ds)  # one collect: index + counts + df
+    from .verify import should_broadcast
+
     if n_records is None:
-        n_records = len(idx[0])
-    if df_table is None:
-        uni, counts = np.unique(idx[1], return_counts=True)
-        keep = counts >= 2  # df=1 widow tokens can't be shared
-        df_table = (uni[keep], counts[keep].astype(np.int64))
+        n_records = toks_ds.count()
+    broadcast = should_broadcast(toks_ds, n_records, cfg.broadcast_limit,
+                                 cfg.broadcast_bytes_limit)
+    idx = None
+    if broadcast:
+        idx = weighted_token_index(toks_ds)  # one collect: index + df
+        if df_table is None:
+            uni, counts = np.unique(idx[1], return_counts=True)
+            keep = counts >= 2  # df=1 widow tokens can't be shared
+            df_table = (uni[keep], counts[keep].astype(np.int64))
+    elif df_table is None:
+        from .blocking import build_df_table
+
+        df_table = build_df_table(toks_ds)  # distributed df pass
     wt_ref = ray.put(word_weights(df_table, n_records))
     sigs = toks_ds.map_batches(
         _emit_weighted_signatures,
@@ -355,15 +365,24 @@ def setsim_self_join_weighted(
                    "alpha": _weight_ratio(sim, threshold)},
         batch_format="pyarrow",
     )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    toks_ref = ray.put(idx)
-    return candidates.map_batches(
-        _verify_weighted,
-        fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
-                       threshold=threshold, round_to=round_to),
-        batch_format="pyarrow",
-        batch_size=2048,
-    )
+    if broadcast:
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+        toks_ref = ray.put(idx)
+        return candidates.map_batches(
+            _verify_weighted,
+            fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
+                           threshold=threshold, round_to=round_to),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+    from .blocking import verify_shards
+    from .verify import build_token_shard_store
+
+    store = build_token_shard_store(toks_ds, num_shards=verify_shards(cfg),
+                                    store_dir=cfg.shard_store_dir)
+    return verify_pairs_sharded_weighted(
+        candidates, store, wt_ref, sim=sim, threshold=threshold,
+        round_to=round_to)
 
 
 def weighted_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset"):
@@ -422,33 +441,45 @@ def setsim_rs_join_weighted(
     RS tokenizer (RStableAttr2IntVector, tokenizer.cc:240-411) and its
     isWeighted join paths (simfunc.h:37-38).
 
-    ONE driver collect feeds everything: the verify index, the record
-    counts, and the df table (unique+counts over the already-deduped bags) --
-    no separate distributed df pass, no extra count() scans.  The weighted
-    verify requires the broadcast index; inputs beyond cfg.broadcast_limit
-    are rejected loudly rather than OOMing the driver."""
+    Under the broadcast gate ONE driver collect feeds everything: the verify
+    index and the df table (unique+counts over the already-deduped bags).
+    Beyond it, the df pass runs distributed over A ∪ B and verification goes
+    through the sharded grid (verify_pairs_sharded_weighted) — only the
+    vocabulary-sized wordwt table stays broadcast, which the signature stage
+    requires anyway."""
     from .blocking import dedupe_pairs
+    from .verify import should_broadcast
 
-    idx = weighted_token_index_rs(toks_a, toks_b)
-    index_a, va, oa, index_b, vb, ob = idx
-    # candidate dedup downstream keys on 64-bit id hashes (dedupe_pairs on
-    # k1/k2): a collision must fail LOUDLY like the hash-keyed verify paths
-    # (_idh_token_index_rs), not silently drop a genuine pair
-    ha = pd.Index(hash_strings(np.asarray(index_a.to_numpy(), dtype=object)))
-    hb = pd.Index(hash_strings(np.asarray(index_b.to_numpy(), dtype=object)))
-    if not (ha.is_unique and hb.is_unique):
-        raise RuntimeError(
-            "64-bit id-hash collision in weighted RS join index; the "
-            "hash-keyed pair dedup is unsound for this id set")
-    n = len(index_a) + len(index_b)
-    if n > cfg.broadcast_limit:
-        raise ValueError(
-            f"setsim_rs_join_weighted: {n} records exceed broadcast_limit="
-            f"{cfg.broadcast_limit}; the weighted RS join currently requires "
-            "the broadcast verify index (no join-path fallback)")
-    uni, counts = np.unique(np.concatenate((va, vb)), return_counts=True)
-    keep = counts >= 2  # df=1 widow tokens can't be shared
-    wt_ref = ray.put(word_weights((uni[keep], counts[keep].astype(np.int64)), n))
+    n = toks_a.count() + toks_b.count()
+    try:
+        sz = toks_a.size_bytes() + toks_b.size_bytes()
+    except Exception:
+        sz = None
+    broadcast = should_broadcast(None, n, cfg.broadcast_limit,
+                                 cfg.broadcast_bytes_limit, size_bytes=sz)
+    idx = None
+    if broadcast:
+        idx = weighted_token_index_rs(toks_a, toks_b)
+        index_a, va, oa, index_b, vb, ob = idx
+        # candidate dedup downstream keys on 64-bit id hashes (dedupe_pairs
+        # on k1/k2): a collision must fail LOUDLY like the hash-keyed verify
+        # paths (_idh_token_index_rs), not silently drop a genuine pair.
+        # (The sharded path asserts the same per shard in _load_shard.)
+        ha = pd.Index(hash_strings(np.asarray(index_a.to_numpy(), dtype=object)))
+        hb = pd.Index(hash_strings(np.asarray(index_b.to_numpy(), dtype=object)))
+        if not (ha.is_unique and hb.is_unique):
+            raise RuntimeError(
+                "64-bit id-hash collision in weighted RS join index; the "
+                "hash-keyed pair dedup is unsound for this id set")
+        uni, counts = np.unique(np.concatenate((va, vb)), return_counts=True)
+        keep = counts >= 2  # df=1 widow tokens can't be shared
+        df_table = (uni[keep], counts[keep].astype(np.int64))
+    else:
+        from .blocking import build_df_table
+
+        # distributed combined-dictionary df pass over A ∪ B
+        df_table = build_df_table(toks_a.union(toks_b))
+    wt_ref = ray.put(word_weights(df_table, n))
     common = dict(wt_ref=wt_ref, sim=sim, threshold=threshold,
                   pair_partitions=cfg.pair_partitions,
                   salt_df_threshold=cfg.salt_df_threshold,
@@ -465,12 +496,122 @@ def setsim_rs_join_weighted(
                    "alpha": _weight_ratio(sim, threshold), "rs": True},
         batch_format="pyarrow",
     )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
-    toks_ref = ray.put(idx)
-    return candidates.map_batches(
-        _verify_weighted_rs,
-        fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
-                       threshold=threshold, round_to=round_to),
-        batch_format="pyarrow",
-        batch_size=2048,
-    )
+    if broadcast:
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+        toks_ref = ray.put(idx)
+        return candidates.map_batches(
+            _verify_weighted_rs,
+            fn_kwargs=dict(toks_ref=toks_ref, wt_ref=wt_ref, sim=sim,
+                           threshold=threshold, round_to=round_to),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+    from .blocking import verify_shards
+    from .verify import build_token_shard_store
+
+    ns = verify_shards(cfg)
+    store_a = build_token_shard_store(toks_a, num_shards=ns,
+                                      store_dir=cfg.shard_store_dir)
+    store_b = build_token_shard_store(toks_b, num_shards=ns,
+                                      store_dir=cfg.shard_store_dir)
+    return verify_pairs_sharded_weighted(
+        candidates, store_a, wt_ref, sim=sim, threshold=threshold,
+        round_to=round_to, store_b=store_b)
+
+
+# ---------------------------------------------------------------------------
+# beyond-broadcast weighted verify (sharded grid)
+# ---------------------------------------------------------------------------
+
+
+def verify_pairs_sharded_weighted(
+    pairs_ds: "ray.data.Dataset",
+    store: dict,
+    wt_ref,
+    *,
+    sim: str,
+    threshold: float,
+    round_to: int | None,
+    store_b: dict | None = None,
+) -> "ray.data.Dataset":
+    """Weighted verify on the sharded-grid plan (verify.verify_pairs_sharded):
+    slim (k1, k2) candidates shuffle once to (shard(k1), shard(k2)) cells and
+    each cell reads its two token shards — the per-record token lists stop
+    being broadcast.  The wordwt table (``wt_ref``) stays broadcast state:
+    the weighted SIGNATURE stage already requires it on every worker, so the
+    verify adds no new scale assumption (it is df-derived and vocabulary-
+    sized, not corpus-sized).  Duplicate candidates co-locate per cell, so
+    cell-local dedup is globally exact — no pre-verify dedup shuffle."""
+    from ..functions.hashing import bucket_of
+    from .verify import _empty_verified, _load_shard, gather_lists
+
+    n_shards = store["num_shards"]
+    rs = store_b is not None
+    if rs and store_b["num_shards"] != n_shards:
+        raise ValueError("RS verify requires equal shard counts")
+    id1_t = store["id_type"]
+    id2_t = (store_b if rs else store)["id_type"]
+    empty = _empty_verified(id1_t, id2_t)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        cell = bucket_of(k1, n_shards) * n_shards + bucket_of(k2, n_shards)
+        return pa.table({
+            "cell": pa.array(cell.astype(np.int32), pa.int32()),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+        })
+
+    def verify_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cell = int(t.column("cell")[0].as_py())
+        s1, s2 = cell // n_shards, cell % n_shards
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        order = np.lexsort((k2, k1))
+        k1, k2 = k1[order], k2[order]
+        first = np.ones(k1.size, bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        k1, k2 = k1[first], k2[first]
+        sh1 = _load_shard(store, s1)
+        same = not rs and s2 == s1
+        sh2 = sh1 if same else _load_shard(store_b if rs else store, s2)
+        idx1, ids1, vals1, offs1 = sh1
+        idx2, ids2, vals2, offs2 = sh2
+        r1 = idx1.get_indexer(k1)
+        r2 = idx2.get_indexer(k2)
+        ok = (r1 >= 0) & (r2 >= 0)
+        r1, r2 = r1[ok], r2[ok]
+        if r1.size == 0:
+            return empty
+        # shards hold ORIGINAL token hashes (no dense relabel) so the weight
+        # lookup works, exactly like _verify_weighted's broadcast index
+        va, oa = gather_lists(vals1, offs1, r1)
+        vb, ob = gather_lists(vals2, offs2, r2)
+        wt_toks, wt_vals, default_wt = get_broadcast(wt_ref)
+        ovlp_w = S.pair_weighted_overlap(va, oa, vb, ob, wt_toks, wt_vals, default_wt)
+        wa = S.record_weights(va, oa, wt_toks, wt_vals, default_wt)
+        wb = S.record_weights(vb, ob, wt_toks, wt_vals, default_wt)
+        s = S.weighted_set_sims(ovlp_w, wa, wb, sim)
+        if round_to is not None:
+            s = np.round(s, round_to)
+        keep = s >= threshold
+        if not keep.any():
+            return empty
+        a = ids1[r1[keep]]
+        b = ids2[r2[keep]]
+        if not rs:
+            swap = a > b
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+        return pa.table({
+            "id1": pa.array(a, id1_t),
+            "id2": pa.array(b, id2_t),
+            "sim": pa.array(s[keep], pa.float64()),
+        })
+
+    return (pairs_ds.select_columns(["k1", "k2"])
+            .map_batches(add_cell, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(verify_cell, batch_format="pyarrow"))

@@ -86,7 +86,8 @@ def test_query_matches_oracle(contract, con, name):
 # the one a beyond-broadcast (100x-scale) run actually takes — and the output
 # must stay oracle-identical.
 JOIN_PATH_NAMES = ["block_jac", "block_jac_rs", "megallen_wide",
-                   "cluster_jac", "minhash_lsh_docs", "dedup_token_jac_docs"]
+                   "cluster_jac", "minhash_lsh_docs", "dedup_token_jac_docs",
+                   "block_jac_weighted", "block_jac_weighted_rs"]
 
 
 @pytest.mark.parametrize("name", JOIN_PATH_NAMES)

@@ -137,3 +137,47 @@ def test_weighted_rs_salted_is_exact(tiny_docs):
         toks_a, toks_b, sim="jac", threshold=0.4,
         cfg=_cfg(salt_df_threshold=3, salt_factor=4), round_to=9).to_pandas()
     assert set(zip(plain["id1"], plain["id2"])) == set(zip(salted["id1"], salted["id2"]))
+
+
+def test_weighted_broadcast_and_sharded_paths_identical(tiny_docs):
+    """Beyond the broadcast gate the weighted verify runs on the sharded
+    grid; output must equal the broadcast path's row-for-row."""
+    import pandas as pd
+
+    docs, _ = tiny_docs
+    toks = B.tokenize_docs(docs, "doc", "dlm").materialize()
+    bc = setsim_self_join_weighted(toks, sim="jac", threshold=0.4,
+                                   cfg=_cfg(), round_to=9).to_pandas()
+    sh = setsim_self_join_weighted(
+        toks, sim="jac", threshold=0.4,
+        cfg=_cfg(broadcast_limit=0, broadcast_bytes_limit=0, verify_shards=3),
+        round_to=9).to_pandas()
+    a = bc.sort_values(["id1", "id2"]).reset_index(drop=True)
+    b = sh.sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["id1", "id2"]], b[["id1", "id2"]])
+    np.testing.assert_allclose(a["sim"].to_numpy(), b["sim"].to_numpy(), atol=1e-12)
+
+
+def test_weighted_rs_broadcast_and_sharded_paths_identical(tiny_docs):
+    """The weighted RS join previously REFUSED beyond-broadcast inputs; it
+    now runs the sharded grid — outputs must match the broadcast path."""
+    import pandas as pd
+
+    from entityblockingbysimilarityjoins_ray.stages.weighted import setsim_rs_join_weighted
+
+    docs, pdocs = tiny_docs
+    half = len(pdocs) // 2
+    a_df, b_df = pdocs.iloc[:half], pdocs.iloc[half:]
+    toks_a = B.tokenize_docs(ray.data.from_pandas(a_df), "doc", "dlm").materialize()
+    toks_b = B.tokenize_docs(ray.data.from_pandas(b_df), "doc", "dlm").materialize()
+    bc = setsim_rs_join_weighted(toks_a, toks_b, sim="jac", threshold=0.4,
+                                 cfg=_cfg(), round_to=9).to_pandas()
+    sh = setsim_rs_join_weighted(
+        toks_a, toks_b, sim="jac", threshold=0.4,
+        cfg=_cfg(broadcast_limit=0, broadcast_bytes_limit=0, verify_shards=3),
+        round_to=9).to_pandas()
+    a = bc.sort_values(["id1", "id2"]).reset_index(drop=True)
+    b = sh.sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["id1", "id2"]], b[["id1", "id2"]])
+    np.testing.assert_allclose(a["sim"].to_numpy(), b["sim"].to_numpy(), atol=1e-12)
+    assert len(a) > 0
