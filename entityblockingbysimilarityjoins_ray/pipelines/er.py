@@ -90,7 +90,9 @@ class _SetsimShared:
 
                 entry["shard_store"] = build_token_shard_store(
                     toks, num_shards=B.verify_shards(self.cfg),
-                    store_dir=self.cfg.shard_store_dir)
+                    store_dir=self.cfg.shard_store_dir,
+                    fp=fingerprint("shard_store", key, self.cfg.num_buckets,
+                                   self.cfg.doc_sep))
             self._by_key[key] = entry
         return self._by_key[key]
 

@@ -586,7 +586,7 @@ _SHARD_CACHE_MAX = 32
 
 def build_token_shard_store(
     toks_ds: "ray.data.Dataset", *, num_shards: int,
-    store_dir: str | None = None,
+    store_dir: str | None = None, fp: str | None = None,
 ) -> dict:
     """Write ``toks_ds`` (conv_id, toks) as a Parquet store partitioned by
     ``shard = hash(conv_id) % num_shards``; returns ``{"path", "num_shards"}``.
@@ -594,17 +594,48 @@ def build_token_shard_store(
     Map-only (no shuffle): each task routes its rows and the Parquet writer
     splits them into the shard=N directories.  The id hash is the same
     ``hash_strings`` the pair pipeline keys on, so cell tasks can look
-    records up by the (k1, k2) values pair generation emitted."""
+    records up by the (k1, k2) values pair generation emitted.
+
+    ``fp`` + ``store_dir`` make the store a RESUMABLE checkpoint (same
+    config-fingerprint convention as sources.io.checkpoint_stage): the store
+    lands at a deterministic ``shards_<fp>_<S>`` path with a manifest, built
+    atomically (tmp dir + rename), and a later run with a matching manifest
+    reuses it without rebuilding.  Without ``fp`` every call gets a fresh
+    tempdir (no reuse)."""
+    import json
     import os
+    import shutil
     import tempfile
 
     from ..functions.hashing import bucket_of, hash_strings
 
     # ``store_dir`` is a ROOT (cluster storage at scale): every store gets a
-    # fresh subdirectory so concurrent rules/tokenizations never collide
+    # fresh (or fingerprint-deterministic) subdirectory so concurrent
+    # rules/tokenizations never collide
     if store_dir is not None:
         os.makedirs(store_dir, exist_ok=True)
-    store_dir = tempfile.mkdtemp(prefix="ebsj_shards_", dir=store_dir)
+    final_dir = None
+    if fp is not None and store_dir is not None:
+        final_dir = os.path.join(store_dir, f"shards_{fp}_{int(num_shards)}")
+        mpath = os.path.join(final_dir, "_STORE_MANIFEST.json")
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    man = json.load(f)
+            except Exception:
+                man = {}
+            if (man.get("fingerprint") == fp
+                    and man.get("num_shards") == int(num_shards)
+                    and man.get("complete")):
+                return {"path": final_dir, "num_shards": int(num_shards),
+                        "id_type": _store_id_type(final_dir)}
+            shutil.rmtree(final_dir)
+        store_dir = final_dir + ".tmp"
+        if os.path.exists(store_dir):
+            shutil.rmtree(store_dir)
+        os.makedirs(store_dir)
+    else:
+        store_dir = tempfile.mkdtemp(prefix="ebsj_shards_", dir=store_dir)
 
     def route(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
@@ -628,8 +659,27 @@ def build_token_shard_store(
     (toks_ds.select_columns(["conv_id", "toks"])
         .map_batches(route, batch_format="pyarrow")
         .write_parquet(store_dir, partition_cols=["shard"]))
+    if final_dir is not None:
+        with open(os.path.join(store_dir, "_STORE_MANIFEST.json"), "w") as f:
+            json.dump({"fingerprint": fp, "num_shards": int(num_shards),
+                       "complete": True}, f)
+        os.rename(store_dir, final_dir)
+        store_dir = final_dir
     return {"path": store_dir, "num_shards": int(num_shards),
             "id_type": id_type}
+
+
+def _store_id_type(path: str):
+    """Recover the id column's Arrow type from a reused store's files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(path, "shard=*", "*.parquet"))
+    if not files:
+        return pa.string()  # empty store: type only shapes empty outputs
+    return pq.read_schema(files[0]).field("conv_id").type
 
 
 def _load_shard(store: dict, shard: int):

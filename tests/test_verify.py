@@ -95,3 +95,31 @@ def test_sharded_verify_unknown_keys_dropped(ray_session):
     }))
     got = verify_pairs_sharded(pairs, store, sim="jac", threshold=0.5).to_pandas()
     assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
+
+
+def test_shard_store_fingerprint_reuse(ray_session, tmp_path):
+    """With (store_dir, fp) the store is a resumable checkpoint: a second
+    build with the same fingerprint reuses the files; a different
+    fingerprint rebuilds."""
+    import os
+
+    rows = [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [9])]
+    root = str(tmp_path / "stores")
+    s1 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="abc123")
+    marker = os.path.join(s1["path"], "MARKER")
+    open(marker, "w").write("x")
+    s2 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="abc123")
+    assert s2["path"] == s1["path"] and os.path.exists(marker)  # reused
+    assert str(s2["id_type"]) == "string"
+    s3 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="def456")
+    assert s3["path"] != s1["path"]
+    # a reused store still verifies correctly
+    h = _hashes(rows)
+    k1, k2 = sorted((int(h["a"]), int(h["b"])))
+    pairs = ray.data.from_arrow(pa.table({
+        "k1": pa.array([k1], pa.int64()), "k2": pa.array([k2], pa.int64())}))
+    got = verify_pairs_sharded(pairs, s2, sim="jac", threshold=0.4).to_pandas()
+    assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
