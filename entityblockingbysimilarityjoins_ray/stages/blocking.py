@@ -600,45 +600,7 @@ def _strip_rule_cols(t: pa.Table) -> pa.Table:
     return t.select(["id1", "id2", "sim"])
 
 
-def dedupe_rule_rows(rows: "ray.data.Dataset", num_partitions: int):
-    """Global dedup of inline-verified survivor rows on (k1, k2, rule): the
-    same (pair, rule) may surface from several pair-generation buckets (one
-    per shared signature token); exactly one {id1, id2, sim} row per
-    (pair, passing rule) must remain so downstream passed_rules counting
-    stays exact.  The input is tiny (survivors only), so this shuffle is
-    negligible."""
 
-    def add_pb(t: pa.Table) -> pa.Table:
-        k1 = np.asarray(t.column("k1"), dtype=np.int64)
-        return t.append_column("pb", pa.array(bucket_of(k1, num_partitions), pa.int32()))
-
-    def dd(t: pa.Table) -> pa.Table:
-        k1 = np.asarray(t.column("k1"), dtype=np.int64)
-        k2 = np.asarray(t.column("k2"), dtype=np.int64)
-        rr = np.asarray(t.column("rule"), dtype=np.int64)
-        order = np.lexsort((rr, k2, k1))
-        k1s, k2s, rs_ = k1[order], k2[order], rr[order]
-        first = np.ones(k1s.size, bool)
-        if k1s.size:
-            first[1:] = ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
-                         | (rs_[1:] != rs_[:-1]))
-        keep = pa.array(order[first])
-        return pa.table({
-            "id1": t.column("id1").take(keep),
-            "id2": t.column("id2").take(keep),
-            "sim": t.column("sim").take(keep),
-        })
-
-    return (
-        rows.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dd, batch_format="pyarrow")
-    )
-
-
-# ---------------------------------------------------------------------------
-# joins
-# ---------------------------------------------------------------------------
 
 
 def empty_record_ids(toks_ds) -> list:
