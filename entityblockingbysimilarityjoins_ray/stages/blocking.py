@@ -16,8 +16,9 @@ Physical plan per rule:
   -> token df counts (partial agg per batch + groupby)      [small shuffle]
   -> signature emission (actor pool holding broadcast df)   [stateless-ish]
   -> groupby(pbucket) + vectorized within-bucket pair gen   [the big shuffle]
-  -> candidate dedup (hash-bucket groupby)                  [pair shuffle]
-  -> exact verify (broadcast lookup or Dataset.join)        [filter]
+  -> slim (k1, k2) candidate dedup (hash-bucket groupby)    [16-byte shuffle]
+  -> exact verify: broadcast index under the gate, else the
+     sharded-index grid (verify.verify_pairs_sharded)       [filter]
 
 Skew handling (explicit, north-rule requirement): prefix tokens are the
 globally rarest tokens of each record (df-ascending order, mirroring the
