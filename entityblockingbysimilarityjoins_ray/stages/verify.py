@@ -86,6 +86,11 @@ def collect_token_index_with_df(toks_ds: "ray.data.Dataset", min_df: int = 2):
     distributed df-aggregation pass (build_df_table) this way.
     Returns ((index, labels, offs, m), (df_toks_sorted, df_vals))."""
     tbl = collect_arrow(toks_ds.select_columns(["conv_id", "toks"]))
+    if "conv_id" not in tbl.column_names:
+        # empty dataset whose plan never produced a schema (e.g. a join over
+        # an empty corpus): an empty index, not a KeyError
+        return ((pd.Index([]), np.empty(0, np.int32), np.zeros(1, np.int64), 1),
+                (np.zeros(0, np.int64), np.zeros(0, np.int64)))
     # keep NATIVE dtype: int64 ids stay int64 so Index.get_indexer runs the
     # vectorized integer hash path (object boxing costs ~3x per lookup)
     ids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
@@ -655,7 +660,11 @@ def build_token_shard_store(
 
     from .joins import _pa_schema
 
-    id_type = _pa_schema(toks_ds).field("conv_id").type
+    sch = _pa_schema(toks_ds)
+    # an empty dataset whose plan never executed has no schema: the id type
+    # then only shapes (empty) verify outputs — default to string
+    id_type = (sch.field("conv_id").type if "conv_id" in sch.names
+               else pa.string())
     (toks_ds.select_columns(["conv_id", "toks"])
         .map_batches(route, batch_format="pyarrow")
         .write_parquet(store_dir, partition_cols=["shard"]))

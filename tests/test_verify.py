@@ -123,3 +123,48 @@ def test_shard_store_fingerprint_reuse(ray_session, tmp_path):
         "k1": pa.array([k1], pa.int64()), "k2": pa.array([k2], pa.int64())}))
     got = verify_pairs_sharded(pairs, s2, sim="jac", threshold=0.4).to_pandas()
     assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
+
+
+def test_sharded_verify_single_shard_and_empty(ray_session, tmp_path):
+    """Degenerate configs must not crash: S=1 (one grid cell) and an EMPTY
+    token dataset (store with no shard files)."""
+    rows = [("a", [1, 2, 3]), ("b", [1, 2, 3]), ("c", [5, 6])]
+    s1 = build_token_shard_store(_mk_toks(rows), num_shards=1)
+    h = _hashes(rows)
+    import itertools
+
+    cand = [tuple(sorted((int(h[x]), int(h[y]))))
+            for x, y in itertools.combinations(sorted(h), 2)]
+    pairs = ray.data.from_arrow(pa.table({
+        "k1": pa.array([c[0] for c in cand], pa.int64()),
+        "k2": pa.array([c[1] for c in cand], pa.int64())}))
+    got = verify_pairs_sharded(pairs, s1, sim="jac", threshold=1.0).to_pandas()
+    assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
+
+    empty_store = build_token_shard_store(_mk_toks([]), num_shards=2,
+                                          store_dir=str(tmp_path), fp="e1")
+    got2 = verify_pairs_sharded(pairs, empty_store, sim="jac",
+                                threshold=0.5).to_pandas()
+    assert len(got2) == 0
+
+
+def test_setsim_sharded_empty_docs(ray_session):
+    """A join over an empty corpus on the forced beyond-broadcast path
+    returns an empty result, not a crash."""
+    from entityblockingbysimilarityjoins_ray.config import PipelineConfig
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        setsim_self_join,
+        tokenize_docs,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "doc": pa.array([], pa.string()),
+    }))
+    toks = tokenize_docs(docs, "doc", "dlm").materialize()
+    out = setsim_self_join(
+        toks, sim="jac", threshold=0.5,
+        cfg=PipelineConfig(pair_partitions=4, broadcast_limit=0,
+                           broadcast_bytes_limit=0, verify_shards=2,
+                           include_empty_pairs=False)).to_pandas()
+    assert len(out) == 0
