@@ -2,12 +2,19 @@
 
 Replaces the reference's in-join positional-filter verification
 (/root/reference/cpp/common/setjoin_parallel.h:334-370) with a separate
-vectorized stage: candidate pairs are joined back to their token sets —
-either via a broadcast lookup held once per actor (small sides,
-``ray.put`` once / read per actor, never re-shipped per batch) or via two
-hash-partitioned ``Dataset.join`` shuffles (both-sides-large scale path) —
-then one vectorized binary-search intersect per batch computes the exact
-similarity and filters by threshold.
+vectorized stage.  Two physical plans behind one gate (should_broadcast,
+records AND bytes):
+
+- **broadcast**: the token index is collected once, ``ray.put`` once, read
+  per worker (never re-shipped per batch); slim pre-deduped (k1, k2)
+  candidates stream through a balanced ``map_batches`` bitmap-overlap
+  verify.
+- **sharded grid** (beyond-broadcast): the index is written as Parquet
+  shards keyed by ``hash(id) % S`` (a resumable, fingerprint-keyed store);
+  candidates shuffle ONCE to (shard(k1), shard(k2)) grid cells and each
+  cell verifies against its two worker-cached shards with the same kernel.
+  No token list ever crosses a shuffle and worker memory is bounded by two
+  shards regardless of corpus size.
 """
 
 from __future__ import annotations
