@@ -88,11 +88,16 @@ class _SetsimShared:
                 # rule taking the beyond-broadcast grid-verify path
                 from ..stages.verify import build_token_shard_store
 
+                # the fingerprint folds the INPUT's identity (record count),
+                # not just config: a different dataset at the same
+                # shard_store_dir must rebuild, never silently reuse a stale
+                # token store; cfg.resume=False forces a rebuild outright
                 entry["shard_store"] = build_token_shard_store(
                     toks, num_shards=B.verify_shards(self.cfg),
                     store_dir=self.cfg.shard_store_dir,
                     fp=fingerprint("shard_store", key, self.cfg.num_buckets,
-                                   self.cfg.doc_sep))
+                                   self.cfg.doc_sep, self.n_records()),
+                    resume=self.cfg.resume)
             self._by_key[key] = entry
         return self._by_key[key]
 

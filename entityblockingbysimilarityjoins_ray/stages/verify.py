@@ -13,11 +13,15 @@ records AND bytes):
   shards keyed by ``hash(id) % S`` (a resumable, fingerprint-keyed store);
   candidates shuffle ONCE to (shard(k1), shard(k2)) grid cells and each
   cell verifies against its two worker-cached shards with the same kernel.
-  No token list ever crosses a shuffle and worker memory is bounded by two
-  shards regardless of corpus size.
+  No token list ever crosses a shuffle; worker memory is bounded by the
+  cell's two live shards plus the byte-budgeted shard cache
+  (_SHARD_CACHE_BYTES) regardless of corpus size.
 """
 
 from __future__ import annotations
+
+import os
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -277,6 +281,9 @@ def verify_pairs(
     toks_ref=None,
     canonicalize_output: bool = False,
     rules: list[tuple[str, float]] | None = None,
+    shard_store: dict | None = None,
+    store_dir: str | None = None,
+    store_fp: str | None = None,
 ) -> "ray.data.Dataset":
     """Exact-verify candidate pairs; emits {id1, id2, sim} with sim >= threshold.
 
@@ -284,7 +291,11 @@ def verify_pairs(
     so several rules over the same tokenization share ONE broadcast index.
 
     ``rules``: fused multi-rule mode — one output row per (pair, passing
-    rule), overlap computed once (see broadcast_verify_batch)."""
+    rule), overlap computed once (see broadcast_verify_batch).
+
+    ``shard_store`` / ``store_dir`` / ``store_fp``: beyond-broadcast path —
+    reuse or checkpoint the grid verify's token shard store (see
+    verify_pairs_sharded_from_ids)."""
     if broadcast:
         ref = toks_ref if toks_ref is not None else ray.put(collect_token_index(toks_ds))
         return pairs_ds.map_batches(
@@ -302,7 +313,8 @@ def verify_pairs(
         )
     return verify_pairs_sharded_from_ids(
         pairs_ds, toks_ds, sim=sim, threshold=threshold, rules=rules,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, store=shard_store,
+        store_dir=store_dir, store_fp=store_fp,
     )
 
 
@@ -547,6 +559,10 @@ def verify_pairs_rs(
     broadcast: bool = True,
     num_partitions: int = 64,
     toks_ref=None,
+    shard_store: dict | None = None,
+    shard_store_b: dict | None = None,
+    store_dir: str | None = None,
+    store_fp: str | None = None,
 ) -> "ray.data.Dataset":
     """Exact-verify RS candidate pairs (id1 from A, id2 from B)."""
     if broadcast:
@@ -559,7 +575,8 @@ def verify_pairs_rs(
         )
     return verify_pairs_sharded_from_ids(
         pairs_ds, toks_a, toks_b=toks_b, sim=sim, threshold=threshold,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, store=shard_store,
+        store_b=shard_store_b, store_dir=store_dir, store_fp=store_fp,
     )
 
 
@@ -585,23 +602,86 @@ def verify_pairs_rs(
 #      cached per worker) and runs the same dense-relabel + bitmap-run
 #      overlap kernel as the broadcast path.
 #
-# Worker memory is bounded by two shards + one cell regardless of total
-# index size; duplicate candidates (one per shared signature token surviving
-# pair-gen's bucket-local dedup) all land in the SAME cell, so the
-# cell-local dedup is globally exact and no survivor-level dedup shuffle is
-# needed.  Replaces the reference's shared-memory verification
-# (setjoin_parallel.h:334-370) for indexes too large to broadcast.
+# A cell task touches exactly two shards; decoded shards are cached per
+# worker process under a BYTE budget (_SHARD_CACHE_BYTES, default 1 GiB,
+# env GRAFT_SHARD_CACHE_BYTES) purely for cross-cell locality — worker
+# memory is bounded by max(two live shards, the cache budget) + one cell
+# regardless of total index size.  Duplicate candidates (one per shared
+# signature token surviving pair-gen's bucket-local dedup) all land in the
+# SAME cell, so the cell-local dedup is globally exact and no
+# survivor-level dedup shuffle is needed.  Replaces the reference's
+# shared-memory verification (setjoin_parallel.h:334-370) for indexes too
+# large to broadcast.
+#
+# Multi-node contract: the store must live on storage every worker can
+# read (cfg.shard_store_dir on cluster storage).  The store manifest
+# records per-shard row counts, and _load_shard RAISES when a shard the
+# manifest says is non-empty is absent — a node-local store on a
+# multi-node cluster fails loudly instead of silently dropping pairs.
 
 _SHARD_CACHE: dict = {}
-_SHARD_CACHE_MAX = 32
+_SHARD_CACHE_BYTES = int(os.environ.get("GRAFT_SHARD_CACHE_BYTES", 1 << 30))
+
+_STORE_MANIFEST = "_STORE_MANIFEST.json"
+
+#: unkeyed (no-fingerprint) stores created this session; removed at exit so
+#: repeated library calls don't leak one index-sized Parquet copy per call
+_UNKEYED_STORES: list = []
+
+
+class _Shard(NamedTuple):
+    """One decoded verify shard (worker-cached).
+
+    ``vals`` keeps the ORIGINAL token hashes (the weighted verify's IDF
+    lookup needs them); ``uni``/``labels`` are the shard-local dense
+    relabeling computed ONCE at load so grid cells only pay a
+    vocabulary-sized label-space merge instead of re-sorting both shards'
+    full token arrays per cell."""
+
+    idx: "pd.Index"      # id-hash -> row
+    ids: np.ndarray      # original ids (object)
+    vals: np.ndarray     # flat token hashes
+    offs: np.ndarray     # list offsets
+    uni: np.ndarray      # sorted unique token hashes
+    labels: np.ndarray   # vals relabeled dense into [0, uni.size)
+    nbytes: int
+
+
+def _cleanup_unkeyed_stores():
+    import shutil
+
+    while _UNKEYED_STORES:
+        shutil.rmtree(_UNKEYED_STORES.pop(), ignore_errors=True)
+
+
+def _read_store_manifest(path: str) -> dict | None:
+    import json
+
+    mpath = os.path.join(path, _STORE_MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _store_from_manifest(path: str, man: dict) -> dict:
+    return {"path": path, "num_shards": int(man["num_shards"]),
+            "id_type": _store_id_type(path),
+            "generation": man.get("generation", ""),
+            "shard_rows": man.get("shard_rows", {})}
 
 
 def build_token_shard_store(
     toks_ds: "ray.data.Dataset", *, num_shards: int,
     store_dir: str | None = None, fp: str | None = None,
+    resume: bool = True,
 ) -> dict:
     """Write ``toks_ds`` (conv_id, toks) as a Parquet store partitioned by
-    ``shard = hash(conv_id) % num_shards``; returns ``{"path", "num_shards"}``.
+    ``shard = hash(conv_id) % num_shards``; returns ``{"path", "num_shards",
+    "id_type", "generation", "shard_rows"}``.
 
     Map-only (no shuffle): each task routes its rows and the Parquet writer
     splits them into the shard=N directories.  The id hash is the same
@@ -611,16 +691,41 @@ def build_token_shard_store(
     ``fp`` + ``store_dir`` make the store a RESUMABLE checkpoint (same
     config-fingerprint convention as sources.io.checkpoint_stage): the store
     lands at a deterministic ``shards_<fp>_<S>`` path with a manifest, built
-    atomically (tmp dir + rename), and a later run with a matching manifest
-    reuses it without rebuilding.  Without ``fp`` every call gets a fresh
-    tempdir (no reuse)."""
+    atomically (unique tmp dir + rename — concurrent builders race safely
+    and the loser adopts the winner), and a later run with a matching
+    manifest reuses it without rebuilding (``resume=False`` forces a
+    rebuild; callers must fold the INPUT's identity into ``fp``, not just
+    config).  Without ``fp`` every call gets a fresh tempdir, removed at
+    interpreter exit.
+
+    The manifest records per-shard row counts and a build-unique
+    ``generation`` token: absent-but-nonempty shards fail loudly at read
+    time (node-local store on a multi-node cluster) and worker shard caches
+    can never serve a stale pre-rebuild entry."""
     import json
-    import os
     import shutil
     import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
 
     from ..functions.hashing import bucket_of, hash_strings
 
+    # A store on node-local scratch is invisible to tasks on other nodes —
+    # their cells would resolve empty shards and silently drop pairs.  The
+    # per-shard manifest counts catch that at read time; refuse the obvious
+    # misconfiguration up front.
+    if store_dir is None:
+        try:
+            alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+        except Exception:
+            alive = 1
+        if alive > 1:
+            raise ValueError(
+                "build_token_shard_store: no store_dir on a multi-node "
+                "cluster — the default tempdir is node-local, so verify "
+                "cells on other nodes would see empty shards; set "
+                "PipelineConfig.shard_store_dir to cluster-shared storage")
     # ``store_dir`` is a ROOT (cluster storage at scale): every store gets a
     # fresh (or fingerprint-deterministic) subdirectory so concurrent
     # rules/tokenizations never collide
@@ -629,25 +734,24 @@ def build_token_shard_store(
     final_dir = None
     if fp is not None and store_dir is not None:
         final_dir = os.path.join(store_dir, f"shards_{fp}_{int(num_shards)}")
-        mpath = os.path.join(final_dir, "_STORE_MANIFEST.json")
-        if os.path.exists(mpath):
-            try:
-                with open(mpath) as f:
-                    man = json.load(f)
-            except Exception:
-                man = {}
-            if (man.get("fingerprint") == fp
-                    and man.get("num_shards") == int(num_shards)
-                    and man.get("complete")):
-                return {"path": final_dir, "num_shards": int(num_shards),
-                        "id_type": _store_id_type(final_dir)}
+        man = _read_store_manifest(final_dir)
+        if (resume and man is not None and man.get("fingerprint") == fp
+                and man.get("num_shards") == int(num_shards)
+                and man.get("complete")):
+            return _store_from_manifest(final_dir, man)
+        if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
-        store_dir = final_dir + ".tmp"
-        if os.path.exists(store_dir):
-            shutil.rmtree(store_dir)
-        os.makedirs(store_dir)
+        # UNIQUE tmp dir: two concurrent builds of the same fingerprint must
+        # not rmtree each other mid-write; the rename below arbitrates
+        tmp_dir = tempfile.mkdtemp(
+            prefix=os.path.basename(final_dir) + ".tmp-", dir=store_dir)
     else:
-        store_dir = tempfile.mkdtemp(prefix="ebsj_shards_", dir=store_dir)
+        tmp_dir = tempfile.mkdtemp(prefix="ebsj_shards_", dir=store_dir)
+        if not _UNKEYED_STORES:
+            import atexit
+
+            atexit.register(_cleanup_unkeyed_stores)
+        _UNKEYED_STORES.append(tmp_dir)
 
     def route(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
@@ -674,15 +778,39 @@ def build_token_shard_store(
                else pa.string())
     (toks_ds.select_columns(["conv_id", "toks"])
         .map_batches(route, batch_format="pyarrow")
-        .write_parquet(store_dir, partition_cols=["shard"]))
+        .write_parquet(tmp_dir, partition_cols=["shard"]))
+    # per-shard row counts from the Parquet footers (cheap metadata-only
+    # scan) so _load_shard can distinguish "no record hashed here" from
+    # "this node cannot see the store"
+    shard_rows: dict = {}
+    for d in os.listdir(tmp_dir):
+        if not d.startswith("shard="):
+            continue
+        sdir = os.path.join(tmp_dir, d)
+        n = sum(pq.read_metadata(os.path.join(sdir, f)).num_rows
+                for f in os.listdir(sdir) if f.endswith(".parquet"))
+        shard_rows[str(int(d.split("=", 1)[1]))] = int(n)
+    man = {"fingerprint": fp, "num_shards": int(num_shards), "complete": True,
+           "generation": uuid.uuid4().hex, "shard_rows": shard_rows}
+    with open(os.path.join(tmp_dir, _STORE_MANIFEST), "w") as f:
+        json.dump(man, f)
+    path = tmp_dir
     if final_dir is not None:
-        with open(os.path.join(store_dir, "_STORE_MANIFEST.json"), "w") as f:
-            json.dump({"fingerprint": fp, "num_shards": int(num_shards),
-                       "complete": True}, f)
-        os.rename(store_dir, final_dir)
-        store_dir = final_dir
-    return {"path": store_dir, "num_shards": int(num_shards),
-            "id_type": id_type}
+        try:
+            os.rename(tmp_dir, final_dir)
+        except OSError:
+            # a concurrent build of the same fingerprint won the race: adopt
+            # its (validated) store and drop ours
+            peer = _read_store_manifest(final_dir)
+            if (peer is not None and peer.get("fingerprint") == fp
+                    and peer.get("num_shards") == int(num_shards)
+                    and peer.get("complete")):
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return _store_from_manifest(final_dir, peer)
+            raise
+        path = final_dir
+    return {"path": path, "num_shards": int(num_shards), "id_type": id_type,
+            "generation": man["generation"], "shard_rows": shard_rows}
 
 
 def _store_id_type(path: str):
@@ -698,27 +826,44 @@ def _store_id_type(path: str):
     return pq.read_schema(files[0]).field("conv_id").type
 
 
-def _load_shard(store: dict, shard: int):
-    """Worker-cached load of one shard: (idh Index, id strings, flat token
-    values, offsets).  A shard directory missing entirely means no record
-    hashed there (tiny inputs) — an empty shard."""
-    key = (store["path"], int(shard))
+def _load_shard(store: dict, shard: int) -> _Shard:
+    """Worker-cached load + decode of one shard (see ``_Shard``).
+
+    A shard directory may legitimately be absent when no record hashed
+    there (tiny inputs) — but ONLY if the store manifest agrees it holds 0
+    rows.  A manifest-nonempty shard that is absent means this worker
+    cannot see the store (node-local path on a multi-node cluster) and
+    raises instead of silently dropping every candidate pair in its cells.
+
+    The cache key carries the store's build ``generation``, so a rebuild at
+    the same path can never serve a stale pre-rebuild entry."""
+    key = (store["path"], store.get("generation"), int(shard))
     got = _SHARD_CACHE.get(key)
     if got is not None:
         return got
-    import os
-
     import pyarrow.parquet as pq
 
     path = os.path.join(store["path"], f"shard={int(shard)}")
+    expected = int(store.get("shard_rows", {}).get(str(int(shard)), 0))
     if os.path.isdir(path):
         t = pq.read_table(path, columns=["idh", "conv_id", "toks"])
+        if expected and t.num_rows != expected:
+            raise RuntimeError(
+                f"verify shard store {store['path']!r}: shard {int(shard)} "
+                f"has {t.num_rows} rows but the manifest records {expected} "
+                "— the store is corrupt or partially visible")
         idh = np.asarray(t.column("idh").to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
                          dtype=object)
         vals, offs = S.flatten_lists(t.column("toks"))
     else:
+        if expected:
+            raise RuntimeError(
+                f"verify shard store {store['path']!r}: shard {int(shard)} "
+                f"is absent on this node but the manifest records {expected}"
+                " rows — the store is not on storage shared by all workers "
+                "(set PipelineConfig.shard_store_dir to cluster storage)")
         idh = np.empty(0, np.int64)
         ids = np.empty(0, object)
         vals, offs = np.empty(0, np.int64), np.zeros(1, np.int64)
@@ -728,9 +873,23 @@ def _load_shard(store: dict, shard: int):
             "64-bit id-hash collision inside a verify shard; the hash-keyed "
             "pair pipeline is unsound for this id set"
         )
-    got = (idx, ids, vals.astype(np.int64, copy=False), offs)
-    while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    vals = vals.astype(np.int64, copy=False)
+    # shard-local dense relabel ONCE at load: grid cells then merge label
+    # spaces via the vocabulary-sized ``uni`` arrays instead of re-sorting
+    # both shards' full token arrays per cell
+    uni = np.unique(vals)
+    ldt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
+    labels = np.searchsorted(uni, vals).astype(ldt)
+    nbytes = (idh.nbytes + vals.nbytes + offs.nbytes + uni.nbytes
+              + labels.nbytes + ids.size * 64)  # ids: rough per-object cost
+    got = _Shard(idx, ids, vals, offs, uni, labels, int(nbytes))
+    # byte-bounded FIFO: cumulative decoded bytes stay under the budget.
+    # The entry being inserted is always kept (callers hold live references
+    # to a cell's two shards anyway), so an over-budget shard just means no
+    # cross-cell reuse — never an incorrect result.
+    total = sum(s.nbytes for s in _SHARD_CACHE.values())
+    while _SHARD_CACHE and total + got.nbytes > _SHARD_CACHE_BYTES:
+        total -= _SHARD_CACHE.pop(next(iter(_SHARD_CACHE))).nbytes
     _SHARD_CACHE[key] = got
     return got
 
@@ -795,28 +954,35 @@ def verify_pairs_sharded(
         sh1 = _load_shard(store, s1)
         same = not rs and s2 == s1
         sh2 = sh1 if same else _load_shard(store_b if rs else store, s2)
-        idx1, ids1, vals1, offs1 = sh1
-        idx2, ids2, vals2, offs2 = sh2
-        r1 = idx1.get_indexer(k1)
-        r2 = idx2.get_indexer(k2)
+        r1 = sh1.idx.get_indexer(k1)
+        r2 = sh2.idx.get_indexer(k2)
         ok = (r1 >= 0) & (r2 >= 0)
         r1, r2 = r1[ok], r2[ok]
         if r1.size == 0:
             return empty
+        offs1 = sh1.offs
         if same:
-            vals_all, offs_all, R2 = vals1, offs1, r2
+            vals_all, offs_all, R2 = sh1.labels, offs1, r2
+            m = sh1.uni.size + 1
         else:
-            vals_all = np.concatenate([vals1, vals2])
-            offs_all = np.concatenate([offs1, offs1[-1] + offs2[1:]])
+            # merge the two shard-LOCAL dense label spaces through their
+            # sorted unique arrays (vocabulary-sized): per-cell cost drops
+            # from re-sorting both shards' full token arrays (O(N log N),
+            # the grid's former dominant fixed cost — each shard sits in
+            # ~2S cells) to O(U log U) merge + O(N) label gathers
+            merged = np.union1d(sh1.uni, sh2.uni)
+            dt = np.int32 if merged.size < (1 << 31) - 1 else np.int64
+            map1 = np.searchsorted(merged, sh1.uni).astype(dt)
+            map2 = np.searchsorted(merged, sh2.uni).astype(dt)
+            vals_all = np.concatenate([map1[sh1.labels], map2[sh2.labels]])
+            offs_all = np.concatenate([offs1, offs1[-1] + sh2.offs[1:]])
             R2 = r2 + (offs1.size - 1)
-        uni = np.unique(vals_all)
-        dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
-        labels = np.searchsorted(uni, vals_all).astype(dt)
-        ovlp = overlap_auto(labels, offs_all, int(uni.size) + 1, r1, R2)
+            m = merged.size + 1
+        ovlp = overlap_auto(vals_all, offs_all, m, r1, R2)
         lens = np.diff(offs_all)
         la, lb = lens[r1], lens[R2]
-        a_ids = ids1[r1]
-        b_ids = ids2[r2]
+        a_ids = sh1.ids[r1]
+        b_ids = sh2.ids[r2]
         p1, p2, ps = [], [], []
         for s_name, thr in rl:
             s = (ovlp.astype(np.float64) if s_name == "overlap"
@@ -854,19 +1020,34 @@ def verify_pairs_sharded_from_ids(
     rules: list[tuple[str, float]] | None = None,
     num_partitions: int = 64,
     toks_b: "ray.data.Dataset | None" = None,
+    store: dict | None = None,
+    store_b: dict | None = None,
+    store_dir: str | None = None,
+    store_fp: str | None = None,
 ) -> "ray.data.Dataset":
     """Grid-verify ``{id1, id2}`` STRING candidate pairs (minhash/sampler
     surface): hash ids to the slim (k1, k2) form, build the shard store(s)
     from the token dataset(s), and run ``verify_pairs_sharded``.  Self mode
     hash-orders the pair (the grid cell must be deterministic per pair);
-    the verify re-canonicalizes output ids lexicographically."""
+    the verify re-canonicalizes output ids lexicographically.
+
+    ``store``/``store_b`` reuse an existing shard store for the same token
+    dataset(s); ``store_dir``/``store_fp`` make the store(s) built here a
+    resumable checkpoint (see build_token_shard_store)."""
     from ..functions.hashing import hash_strings
 
     rs = toks_b is not None
-    n_shards = max(8, int(np.ceil(np.sqrt(num_partitions))))
-    store = build_token_shard_store(toks_ds, num_shards=n_shards)
-    store_b = (build_token_shard_store(toks_b, num_shards=n_shards)
-               if rs else None)
+    n_shards = (store["num_shards"] if store is not None
+                else max(8, int(np.ceil(np.sqrt(num_partitions)))))
+    if store is None:
+        store = build_token_shard_store(
+            toks_ds, num_shards=n_shards, store_dir=store_dir, fp=store_fp)
+    if rs and store_b is None:
+        store_b = build_token_shard_store(
+            toks_b, num_shards=n_shards, store_dir=store_dir,
+            fp=None if store_fp is None else store_fp + "_b")
+    if not rs:
+        store_b = None
 
     def slim(t: pa.Table) -> pa.Table:
         i1 = hash_strings(np.asarray(

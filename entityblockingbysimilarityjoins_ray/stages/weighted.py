@@ -578,18 +578,17 @@ def verify_pairs_sharded_weighted(
         sh1 = _load_shard(store, s1)
         same = not rs and s2 == s1
         sh2 = sh1 if same else _load_shard(store_b if rs else store, s2)
-        idx1, ids1, vals1, offs1 = sh1
-        idx2, ids2, vals2, offs2 = sh2
-        r1 = idx1.get_indexer(k1)
-        r2 = idx2.get_indexer(k2)
+        r1 = sh1.idx.get_indexer(k1)
+        r2 = sh2.idx.get_indexer(k2)
         ok = (r1 >= 0) & (r2 >= 0)
         r1, r2 = r1[ok], r2[ok]
         if r1.size == 0:
             return empty
-        # shards hold ORIGINAL token hashes (no dense relabel) so the weight
-        # lookup works, exactly like _verify_weighted's broadcast index
-        va, oa = gather_lists(vals1, offs1, r1)
-        vb, ob = gather_lists(vals2, offs2, r2)
+        # shards keep the ORIGINAL token hashes (sh.vals) alongside the
+        # dense labels so the IDF weight lookup works, exactly like
+        # _verify_weighted's broadcast index
+        va, oa = gather_lists(sh1.vals, sh1.offs, r1)
+        vb, ob = gather_lists(sh2.vals, sh2.offs, r2)
         wt_toks, wt_vals, default_wt = get_broadcast(wt_ref)
         ovlp_w = S.pair_weighted_overlap(va, oa, vb, ob, wt_toks, wt_vals, default_wt)
         wa = S.record_weights(va, oa, wt_toks, wt_vals, default_wt)
@@ -600,8 +599,8 @@ def verify_pairs_sharded_weighted(
         keep = s >= threshold
         if not keep.any():
             return empty
-        a = ids1[r1[keep]]
-        b = ids2[r2[keep]]
+        a = sh1.ids[r1[keep]]
+        b = sh2.ids[r2[keep]]
         if not rs:
             swap = a > b
             a, b = np.where(swap, b, a), np.where(swap, a, b)

@@ -125,6 +125,76 @@ def test_shard_store_fingerprint_reuse(ray_session, tmp_path):
     assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
 
 
+def test_shard_cache_byte_bound(ray_session, monkeypatch):
+    """The worker shard cache evicts by cumulative DECODED BYTES: total
+    resident bytes never exceed max(budget, newest entry) — the documented
+    worker-memory bound of the grid verify."""
+    from entityblockingbysimilarityjoins_ray.stages import verify as V
+
+    rows = [(f"r{i}", list(range(i, i + 20))) for i in range(64)]
+    store = build_token_shard_store(_mk_toks(rows), num_shards=8)
+    V._SHARD_CACHE.clear()
+    shards = [V._load_shard(store, s) for s in range(8)]
+    one = max(s.nbytes for s in shards)
+    # budget of ~2 shards: the cache must stay under it while cycling
+    budget = 2 * one + 1
+    monkeypatch.setattr(V, "_SHARD_CACHE", {})
+    monkeypatch.setattr(V, "_SHARD_CACHE_BYTES", budget)
+    for s in range(8):
+        V._load_shard(store, s)
+        total = sum(x.nbytes for x in V._SHARD_CACHE.values())
+        assert total <= budget
+    assert 1 <= len(V._SHARD_CACHE) <= 2
+    # a budget smaller than any one shard still keeps the newest entry
+    monkeypatch.setattr(V, "_SHARD_CACHE", {})
+    monkeypatch.setattr(V, "_SHARD_CACHE_BYTES", 1)
+    for s in range(3):
+        V._load_shard(store, s)
+        assert len(V._SHARD_CACHE) == 1
+
+
+def test_load_shard_missing_nonempty_raises(ray_session, tmp_path):
+    """A shard the manifest records as NON-EMPTY but absent on disk (the
+    node-local-store-on-multi-node failure mode) raises instead of silently
+    dropping that cell's pairs; a manifest-empty shard stays a no-op."""
+    import os
+    import shutil
+
+    from entityblockingbysimilarityjoins_ray.stages import verify as V
+
+    rows = [(f"r{i}", [1, 2, 3, i]) for i in range(16)]
+    store = build_token_shard_store(_mk_toks(rows), num_shards=4,
+                                    store_dir=str(tmp_path), fp="miss1")
+    sh = next(s for s, n in store["shard_rows"].items() if n > 0)
+    shutil.rmtree(os.path.join(store["path"], f"shard={sh}"))
+    V._SHARD_CACHE.clear()
+    with pytest.raises(RuntimeError, match="absent"):
+        V._load_shard(store, int(sh))
+    # a shard with 0 manifest rows may be absent without error
+    empty = {k: v for k, v in store.items()}
+    empty["shard_rows"] = {str(s): 0 for s in range(4)}
+    empty["generation"] = "other"
+    got = V._load_shard(empty, int(sh))
+    assert got.idx.size == 0
+
+
+def test_shard_store_resume_false_rebuilds(ray_session, tmp_path):
+    """resume=False forces a rebuild even when a matching manifest exists;
+    the new store carries a fresh generation token (stale worker cache
+    entries can never be served)."""
+    rows = [("a", [1, 2]), ("b", [2, 3])]
+    root = str(tmp_path / "stores")
+    s1 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="re1")
+    s2 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="re1")
+    assert s2["generation"] == s1["generation"]  # reused
+    s3 = build_token_shard_store(_mk_toks(rows), num_shards=2,
+                                 store_dir=root, fp="re1", resume=False)
+    assert s3["path"] == s1["path"]
+    assert s3["generation"] != s1["generation"]  # rebuilt
+
+
 def test_sharded_verify_single_shard_and_empty(ray_session, tmp_path):
     """Degenerate configs must not crash: S=1 (one grid cell) and an EMPTY
     token dataset (store with no shard files)."""
