@@ -916,56 +916,77 @@ def setsim_self_join_multi(
     return verified
 
 
+_EMPTY_PAIRS = pa.table({
+    "id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
+    "sim": pa.array([], pa.float64()),
+})
+
+
+def _fillna_str(col) -> np.ndarray:
+    """Column values as a pandas-equivalent object array with nulls -> ""
+    (the reference's fix_null on join attrs)."""
+    vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+    if vals.size:
+        na = pd.isna(vals)
+        if na.any():
+            vals = vals.copy()
+            vals[na] = ""
+    return vals
+
+
+def _ids_str(col) -> np.ndarray:
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=object).astype("U")
+
+
 def exact_self_join(
     docs: "ray.data.Dataset", attr: str, cfg: PipelineConfig
 ) -> "ray.data.Dataset":
     """Equality self-join on an attribute (reference ExactJoin,
     stringjoin.h:210-289): hash-bucket groupby on value hash + vectorized
-    within-equal-value pair generation; sim = 1.0 for every pair."""
+    within-equal-value pair generation; sim = 1.0 for every pair.
 
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[attr].fillna("").to_numpy(object)
+    Arrow batches end to end — no pandas blocks (whose schema metadata
+    defeats Ray's reduce-side schema dedup) enter the shuffle."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        vals = _fillna_str(t.column(attr))
         h = hash_strings(vals)
-        return pd.DataFrame(
-            {
-                "pb": bucket_of(h, cfg.pair_partitions),
-                "vh": h,
-                "id": df["conv_id"].astype(str),
-                "val": vals,
-            }
-        )
+        return pa.table({
+            "pb": pa.array(bucket_of(h, cfg.pair_partitions), pa.int32()),
+            "vh": pa.array(h, pa.int64()),
+            "id": pa.array(_ids_str(t.column("conv_id")), pa.string()),
+            "val": pa.array(vals.astype("U"), pa.string()),
+        })
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vh = df["vh"].to_numpy(np.int64)
-        ids = df["id"].to_numpy().astype("U")
-        vals = df["val"].to_numpy(object)
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        vh = np.asarray(t.column("vh"), dtype=np.int64)
+        ids = _ids_str(t.column("id"))
+        vals = np.asarray(t.column("val").to_numpy(zero_copy_only=False),
+                          dtype="U")
         order = np.argsort(vh, kind="stable")
         vh, ids, vals = vh[order], ids[order], vals[order]
-        starts, sizes = group_sizes_from_sorted(vh)
+        _, sizes = group_sizes_from_sorted(vh)
         ii, jj = within_group_pairs(sizes)
-        if ii.size:
-            rel = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            npg = sizes * (sizes - 1) // 2
-            grp = np.repeat(np.arange(sizes.size), npg)
-            shift = starts[grp] - rel[grp]
-            ii, jj = ii + shift, jj + shift
         # guard against u64 hash collisions: require true value equality
         if ii.size:
-            vals_u = np.asarray(vals, dtype="U")
-            eq = vals_u[ii] == vals_u[jj]
+            eq = vals[ii] == vals[jj]
             ii, jj = ii[eq], jj[eq]
         a, b = ids[ii], ids[jj]
         swap = a > b
-        return pd.DataFrame(
-            {"id1": np.where(swap, b, a), "id2": np.where(swap, a, b), "sim": 1.0}
-        )
+        return pa.table({
+            "id1": pa.array(np.where(swap, b, a), pa.string()),
+            "id2": pa.array(np.where(swap, a, b), pa.string()),
+            "sim": pa.array(np.ones(a.size, np.float64), pa.float64()),
+        })
 
     # no dedup shuffle needed: each value hash lives in exactly one pb
     # bucket, so a pair of equal-valued records is emitted exactly once
     return (
-        docs.map_batches(sig, batch_format="pandas")
+        docs.map_batches(sig, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -981,59 +1002,60 @@ def anm_self_join(
     assert 0.0 < threshold < 1.0
     w = -np.log(threshold)  # bucket width in log space
 
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        v = pd.to_numeric(df[attr], errors="coerce").to_numpy(np.float64)
-        ids = df["conv_id"].astype(str).to_numpy(object)
+    def sig(t: pa.Table) -> pa.Table:
+        v = pd.to_numeric(pd.Series(
+            np.asarray(t.column(attr).to_numpy(zero_copy_only=False),
+                       dtype=object)), errors="coerce").to_numpy(np.float64)
+        ids = _ids_str(t.column("conv_id"))
         ok = ~np.isnan(v) & (np.abs(v) >= 1e-5)  # |d|<1e-5 -> sim 0, never matches
         v, ids = v[ok], ids[ok]
         sign = np.sign(v).astype(np.int64)
         b = np.floor(np.log(np.abs(v)) / w).astype(np.int64)
-        out = []
-        for shift in (0, 1):
-            out.append(
-                pd.DataFrame(
-                    {"bk": (b + shift) * 2 + (sign > 0), "own": shift == 0, "id": ids, "v": v}
-                )
-            )
-        res = pd.concat(out, ignore_index=True)
-        res["pb"] = bucket_of(res["bk"].to_numpy(np.int64), cfg.pair_partitions)
-        return res
+        n = v.size
+        bk = np.concatenate([b * 2 + (sign > 0), (b + 1) * 2 + (sign > 0)])
+        return pa.table({
+            "pb": pa.array(bucket_of(bk, cfg.pair_partitions), pa.int32()),
+            "bk": pa.array(bk, pa.int64()),
+            "own": pa.array(np.concatenate([np.ones(n, bool), np.zeros(n, bool)])),
+            "id": pa.array(np.concatenate([ids, ids]) if n else ids, pa.string()),
+            "v": pa.array(np.concatenate([v, v]) if n else v, pa.float64()),
+        })
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out1, out2, outs = [], [], []
-        for _, g in df.groupby("bk", sort=False):
-            ids = g["id"].to_numpy().astype("U")
-            v = g["v"].to_numpy(np.float64)
-            own = g["own"].to_numpy(bool)
-            m = ids.size
-            if m < 2:
-                continue
-            ii, jj = within_group_pairs(np.array([m]))
-            # exclude guest-guest pairs: a both-native pair meets in its own
-            # bucket; counting it again where both are guests double-counts
-            keep = own[ii] | own[jj]
-            ii, jj = ii[keep], jj[keep]
-            d1, d2 = v[ii], v[jj]
-            maxv = np.maximum(np.abs(d1), np.abs(d2))
-            rel = np.abs(d1 - d2) / maxv
-            s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
-            ok = s >= threshold
-            ok &= ids[ii] != ids[jj]
-            a, b = ids[ii][ok], ids[jj][ok]
-            swap = a > b
-            out1.append(np.where(swap, b, a))
-            out2.append(np.where(swap, a, b))
-            outs.append(s[ok])
-        if not out1:
-            return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str), "sim": pd.Series(dtype=float)})
-        return pd.DataFrame(
-            {"id1": np.concatenate(out1), "id2": np.concatenate(out2), "sim": np.concatenate(outs)}
-        )
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        bk = np.asarray(t.column("bk"), dtype=np.int64)
+        ids = _ids_str(t.column("id"))
+        v = np.asarray(t.column("v"), dtype=np.float64)
+        own = np.asarray(t.column("own"), dtype=bool)
+        order = np.argsort(bk, kind="stable")
+        bk, ids, v, own = bk[order], ids[order], v[order], own[order]
+        _, sizes = group_sizes_from_sorted(bk)
+        # ONE vectorized pass over all log-buckets in this partition (no
+        # per-bucket Python loop): within_group_pairs over the contiguous
+        # sorted runs yields every in-bucket (i, j) pair at once
+        ii, jj = within_group_pairs(sizes)
+        # exclude guest-guest pairs: a both-native pair meets in its own
+        # bucket; counting it again where both are guests double-counts
+        keep = own[ii] | own[jj]
+        ii, jj = ii[keep], jj[keep]
+        d1, d2 = v[ii], v[jj]
+        maxv = np.maximum(np.abs(d1), np.abs(d2))
+        rel = np.abs(d1 - d2) / maxv
+        s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
+        ok = (s >= threshold) & (ids[ii] != ids[jj])
+        a, b = ids[ii][ok], ids[jj][ok]
+        swap = a > b
+        return pa.table({
+            "id1": pa.array(np.where(swap, b, a), pa.string()),
+            "id2": pa.array(np.where(swap, a, b), pa.string()),
+            "sim": pa.array(s[ok], pa.float64()),
+        })
 
     return (
-        docs.map_batches(sig, batch_format="pandas")
+        docs.map_batches(sig, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -1143,21 +1165,27 @@ def exact_rs_join(
     within equal values; sim = 1.0."""
 
     def sig(side):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            vals = df[attr].fillna("").to_numpy(object)
+        def f(t: pa.Table) -> pa.Table:
+            vals = _fillna_str(t.column(attr))
             h = hash_strings(vals)
-            return pd.DataFrame(
-                {"pb": bucket_of(h, cfg.pair_partitions), "vh": h,
-                 "side": np.int8(side), "id": df["conv_id"].astype(str), "val": vals}
-            )
+            return pa.table({
+                "pb": pa.array(bucket_of(h, cfg.pair_partitions), pa.int32()),
+                "vh": pa.array(h, pa.int64()),
+                "side": pa.array(np.full(vals.size, side, np.int8), pa.int8()),
+                "id": pa.array(_ids_str(t.column("conv_id")), pa.string()),
+                "val": pa.array(vals.astype("U"), pa.string()),
+            })
 
         return f
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vh = df["vh"].to_numpy(np.int64)
-        side = df["side"].to_numpy(np.int8)
-        ids = df["id"].to_numpy().astype("U")
-        vals = df["val"].to_numpy(object)
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        vh = np.asarray(t.column("vh"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        ids = _ids_str(t.column("id"))
+        vals = np.asarray(t.column("val").to_numpy(zero_copy_only=False),
+                          dtype="U")
         order = np.lexsort((side, vh))
         vh, side, ids, vals = vh[order], side[order], ids[order], vals[order]
         starts, sizes = group_sizes_from_sorted(vh)
@@ -1167,17 +1195,20 @@ def exact_rs_join(
         nb = sizes - na
         ii, jj = bipartite_pairs(starts, na, starts + na, nb)
         if ii.size:
-            vals_u = np.asarray(vals, dtype="U")
-            eq = vals_u[ii] == vals_u[jj]  # u64-collision guard
+            eq = vals[ii] == vals[jj]  # u64-collision guard
             ii, jj = ii[eq], jj[eq]
-        return pd.DataFrame({"id1": ids[ii], "id2": ids[jj], "sim": 1.0})
+        return pa.table({
+            "id1": pa.array(ids[ii], pa.string()),
+            "id2": pa.array(ids[jj], pa.string()),
+            "sim": pa.array(np.ones(ii.size, np.float64), pa.float64()),
+        })
 
-    sigs = docs_a.map_batches(sig(0), batch_format="pandas").union(
-        docs_b.map_batches(sig(1), batch_format="pandas")
+    sigs = docs_a.map_batches(sig(0), batch_format="pyarrow").union(
+        docs_b.map_batches(sig(1), batch_format="pyarrow")
     )
     # no dedup shuffle: one pb bucket per value hash -> each A x B pair of an
     # equal value is emitted exactly once
-    return sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
+    return sigs.groupby("pb").map_groups(pairs, batch_format="pyarrow")
 
 
 def anm_rs_join(
@@ -1198,61 +1229,74 @@ def anm_rs_join(
     w = -np.log(threshold)
 
     def sig(side):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            v = pd.to_numeric(df[attr], errors="coerce").to_numpy(np.float64)
-            ids = df["conv_id"].astype(str).to_numpy(object)
+        def f(t: pa.Table) -> pa.Table:
+            v = pd.to_numeric(pd.Series(
+                np.asarray(t.column(attr).to_numpy(zero_copy_only=False),
+                           dtype=object)), errors="coerce").to_numpy(np.float64)
+            ids = _ids_str(t.column("conv_id"))
             ok = ~np.isnan(v) & (np.abs(v) >= 1e-5)
             v, ids = v[ok], ids[ok]
             sign = np.sign(v).astype(np.int64)
             b = np.floor(np.log(np.abs(v)) / w).astype(np.int64)
             shifts = (-1, 0, 1) if side == 0 else (0,)
-            out = [pd.DataFrame({"bk": (b + sh) * 2 + (sign > 0),
-                                 "side": np.int8(side), "id": ids, "v": v})
-                   for sh in shifts]
-            res = pd.concat(out, ignore_index=True)
-            res["pb"] = bucket_of(res["bk"].to_numpy(np.int64), cfg.pair_partitions)
-            return res
+            bk = np.concatenate([(b + sh) * 2 + (sign > 0) for sh in shifts])
+            k = len(shifts)
+            ids_k = np.concatenate([ids] * k) if v.size else ids
+            v_k = np.concatenate([v] * k) if v.size else v
+            return pa.table({
+                "pb": pa.array(bucket_of(bk, cfg.pair_partitions), pa.int32()),
+                "bk": pa.array(bk, pa.int64()),
+                "side": pa.array(np.full(bk.size, side, np.int8), pa.int8()),
+                "id": pa.array(ids_k, pa.string()),
+                "v": pa.array(v_k, pa.float64()),
+            })
 
         return f
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out1, out2, outs = [], [], []
-        for _, g in df.groupby("bk", sort=False):
-            side = g["side"].to_numpy(np.int8)
-            ids = g["id"].to_numpy().astype("U")
-            v = g["v"].to_numpy(np.float64)
-            a_idx = np.flatnonzero(side == 0)
-            b_idx = np.flatnonzero(side == 1)
-            if a_idx.size == 0 or b_idx.size == 0:
-                continue
-            if max_band_pairs is not None and a_idx.size * b_idx.size > max_band_pairs:
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        bk = np.asarray(t.column("bk"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        ids = _ids_str(t.column("id"))
+        v = np.asarray(t.column("v"), dtype=np.float64)
+        # stable (bk, side) sort: per band the A rows come first, preserving
+        # arrival order — so the capped truncation below keeps the same
+        # "first A rows" the per-band loop it replaces kept
+        order = np.lexsort((side, bk))
+        bk, side, ids, v = bk[order], side[order], ids[order], v[order]
+        starts, sizes = group_sizes_from_sorted(bk)
+        run_id = np.repeat(np.arange(sizes.size), sizes)
+        na = np.zeros(sizes.size, np.int64)
+        np.add.at(na, run_id[side == 0], 1)
+        nb = sizes - na
+        if max_band_pairs is not None:
+            over = na * nb > max_band_pairs
+            if over.any():
                 # bounded enumeration: keep whole A rows until the cap fills
-                keep_a = max(1, max_band_pairs // b_idx.size)
+                capped_a = np.maximum(1, max_band_pairs // np.maximum(nb, 1))
                 logger.warning(
-                    "anm rs join: dense band %dx%d exceeds max_band_pairs=%d; "
-                    "truncating to %dx%d (recall loss possible; raise the cap "
-                    "to make exact)", a_idx.size, b_idx.size, max_band_pairs,
-                    keep_a, b_idx.size,
+                    "anm rs join: %d dense band(s) exceed max_band_pairs=%d "
+                    "(largest %dx%d); truncating their A side (recall loss "
+                    "possible; raise the cap to make exact)",
+                    int(over.sum()), max_band_pairs,
+                    int(na[over].max()), int(nb[over].max()),
                 )
-                a_idx = a_idx[:keep_a]
-            ii = np.repeat(a_idx, b_idx.size)
-            jj = np.tile(b_idx, a_idx.size)
-            d1, d2 = v[ii], v[jj]
-            maxv = np.maximum(np.abs(d1), np.abs(d2))
-            rel = np.abs(d1 - d2) / maxv
-            s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
-            ok = s >= threshold
-            out1.append(ids[ii][ok])
-            out2.append(ids[jj][ok])
-            outs.append(s[ok])
-        if not out1:
-            return pd.DataFrame({"id1": pd.Series(dtype=str), "id2": pd.Series(dtype=str),
-                                 "sim": pd.Series(dtype=float)})
-        return pd.DataFrame({"id1": np.concatenate(out1), "id2": np.concatenate(out2),
-                             "sim": np.concatenate(outs)})
+                na = np.where(over, np.minimum(na, capped_a), na)
+        ii, jj = bipartite_pairs(starts, na, starts + (sizes - nb), nb)
+        d1, d2 = v[ii], v[jj]
+        maxv = np.maximum(np.abs(d1), np.abs(d2))
+        rel = np.abs(d1 - d2) / maxv
+        s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
+        ok = s >= threshold
+        return pa.table({
+            "id1": pa.array(ids[ii][ok], pa.string()),
+            "id2": pa.array(ids[jj][ok], pa.string()),
+            "sim": pa.array(s[ok], pa.float64()),
+        })
 
-    sigs = docs_a.map_batches(sig(0), batch_format="pandas").union(
-        docs_b.map_batches(sig(1), batch_format="pandas")
+    sigs = docs_a.map_batches(sig(0), batch_format="pyarrow").union(
+        docs_b.map_batches(sig(1), batch_format="pyarrow")
     )
-    out = sigs.groupby("pb").map_groups(pairs, batch_format="pandas")
+    out = sigs.groupby("pb").map_groups(pairs, batch_format="pyarrow")
     return dedupe_pairs(out, cfg.pair_partitions)
