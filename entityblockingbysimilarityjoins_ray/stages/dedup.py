@@ -302,6 +302,7 @@ def minhash_lsh_dedup(
     q=3, threshold=0.5, n_perm=128, n_bands=32, num_partitions=128,
     broadcast_limit: int = 2_000_000, n_records: int | None = None,
     seed: int = 42, hash64: str = "pandas",
+    shard_store_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard verify.
 
@@ -332,10 +333,13 @@ def minhash_lsh_dedup(
         n_records = docs.count()
     from .verify import should_broadcast, verify_pairs
 
+    # ``shard_store_dir``: beyond-broadcast verifies checkpoint their token
+    # shard store there (cluster storage at scale) instead of a session
+    # tempdir (see verify.build_token_shard_store's multi-node contract)
     return verify_pairs(
         cands, toks_ds, sim="jac", threshold=threshold,
         broadcast=should_broadcast(toks_ds, n_records, broadcast_limit),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, store_dir=shard_store_dir,
     )
 
 

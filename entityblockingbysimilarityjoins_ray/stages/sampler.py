@@ -237,7 +237,8 @@ def two_step_sample(
     qtoks = B.tokenize_docs(docs, attr, "qgm", 3).materialize()
     return verify_pairs(pairs.select_columns(["id1", "id2"]), qtoks,
                         sim="jac", threshold=step2_tau,
-                        num_partitions=cfg.pair_partitions)
+                        num_partitions=cfg.pair_partitions,
+                        store_dir=cfg.shard_store_dir)
 
 
 def over_sample(df: pd.DataFrame, label_col: str = "label", seed: int = 0) -> pd.DataFrame:

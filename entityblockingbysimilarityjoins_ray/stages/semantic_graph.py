@@ -96,22 +96,33 @@ class _CoherentSimState:
         self.N = np.where(keep[:, None], N / np.maximum(nrm[:, None], 1e-30), 0.0)
         self._emb = emb
         # per-value sorted distinct token ids (kept tokens only), CSR layout
-        ids, offs = [], [0]
-        for toks in emb._token_lists(np.asarray(vocab.to_numpy(), dtype=object)):
-            ti = emb.vocab.get_indexer(pd.unique(pd.Series(toks, dtype=object)))
-            ti = np.sort(ti[(ti >= 0) & keep[np.maximum(ti, 0)]])
-            ids.append(ti)
-            offs.append(offs[-1] + len(ti))
-        self.tok_ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
-        self.tok_offs = np.asarray(offs, np.int64)
-        # per-value partial sums: S_v = sum of unit token rows, k_v = count
+        # — ONE flattened get_indexer + fused-key dedup over all values
+        # (the same offsets machinery as _inter_sums), not a per-value loop
+        vals = np.asarray(vocab.to_numpy(), dtype=object)
+        lists = emb._token_lists(vals)
+        lens = np.fromiter((len(t) for t in lists), np.int64, len(vals))
+        flat = np.asarray([t for l in lists for t in l], dtype=object)
+        rows = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+        ti = (emb.vocab.get_indexer(flat) if flat.size
+              else np.empty(0, np.int64))
+        ok = (ti >= 0) & keep[np.maximum(ti, 0)]
+        rows, ti = rows[ok], ti[ok]
+        m = np.int64(len(self.N) + 1)
+        order = np.argsort(rows * m + ti, kind="stable")
+        rows, ti = rows[order], ti[order]
+        first = np.ones(ti.size, bool)
+        first[1:] = (rows[1:] != rows[:-1]) | (ti[1:] != ti[:-1])
+        rows, ti = rows[first], ti[first]
+        self.tok_ids = ti
+        self.k = np.bincount(rows, minlength=len(vals)).astype(np.int64)
+        self.tok_offs = np.concatenate(([0], np.cumsum(self.k)))
+        # per-value partial sums: S_v = sum of unit token rows (add.at over
+        # the row-major sorted entries keeps the scalar path's ascending-id
+        # per-row summation order)
         d = self.N.shape[1] if self.N.size else 0
-        self.S = np.zeros((len(vocab), d), np.float64)
-        self.k = np.diff(self.tok_offs)
-        for v in range(len(vocab)):
-            ti = self.tok_ids[self.tok_offs[v]:self.tok_offs[v + 1]]
-            if ti.size:
-                self.S[v] = self.N[ti].sum(axis=0)
+        self.S = np.zeros((len(vals), d), np.float64)
+        if ti.size:
+            np.add.at(self.S, rows, self.N[ti])
 
     def _toks_of(self, v: int) -> np.ndarray:
         return self.tok_ids[self.tok_offs[v]:self.tok_offs[v + 1]]

@@ -86,6 +86,26 @@ def test_exact_join(tiny_docs):
     assert got == exp
 
 
+def test_empty_record_ids_cap(ray_session):
+    """empty_record_ids streams the COUNT first and fails loudly above the
+    driver/broadcast cap (a pathological all-empty corpus must not OOM the
+    driver building the ∅-clique id list)."""
+    import pyarrow as pa
+
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        empty_record_ids,
+    )
+
+    toks = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "toks": pa.array([[], [], [], [1]], pa.list_(pa.int64())),
+        "tlen": pa.array([0, 0, 0, 1], pa.int32()),
+    }))
+    assert empty_record_ids(toks) == ["a", "b", "c"]
+    with pytest.raises(RuntimeError, match="empty-token records exceed"):
+        empty_record_ids(toks, limit=2)
+
+
 def test_anm_join(tiny_docs):
     docs, pdocs = tiny_docs
     pairs = anm_self_join(docs, "n_turns", 0.8, CFG)
