@@ -129,6 +129,43 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     text_stats(read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])).count()
     queries["text_stats"] = round(time.time() - t0, 3)
 
+    # RS (A x B) record-linkage leg — the reference's primary RS mode
+    # (simjoin_blocker.cc:180-378): split the canonicalized corpus by conv-id
+    # parity, then a jaccard set-sim RS join and an edit-distance RS join
+    # over the split.  Both honor the broadcast-or-grid gate, so
+    # GRAFT_BROADCAST_LIMIT=0 benches the beyond-broadcast RS family too.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t0 = time.time()
+    from entityblockingbysimilarityjoins_ray.stages.blocking import (
+        setsim_rs_join,
+        tokenize_docs,
+    )
+
+    docs = res["docs"]
+
+    def half(par: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("conv_id"), pa.string())
+            n = np.asarray(pc.cast(pc.utf8_slice_codeunits(ids, 4, 99), pa.int64()))
+            return t.filter(pa.array(n % 2 == par))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    da, db = half(0), half(1)
+    toks_a = tokenize_docs(da, "doc", "dlm").materialize()
+    toks_b = tokenize_docs(db, "doc", "dlm").materialize()
+    n_rs_jac = setsim_rs_join(toks_a, toks_b, sim="jac", threshold=0.5, cfg=cfg).count()
+    queries["rs_jac"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from entityblockingbysimilarityjoins_ray.stages.editjoin import edit_rs_join
+
+    n_rs_lev = edit_rs_join(da, db, "head", 2, cfg).count()
+    queries["rs_lev"] = round(time.time() - t0, 3)
+
     total = round(time.time() - t_all0, 3)
     m = res["metrics"].get("match_prf", {})
     return {
@@ -142,6 +179,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_candidates": int(n_candidates),
         "n_matches": int(n_matches),
         "n_clusters": int(n_clusters),
+        "n_rs_jac_pairs": int(n_rs_jac),
+        "n_rs_lev_pairs": int(n_rs_lev),
         "turns_per_sec": round(n_turns / queries["er_pipeline"], 1),
         "match_f1": round(m.get("f1", 0.0), 5),
         "blocking_recall": round(res["metrics"].get("blocking_prf", {}).get("recall", 0.0), 5),
@@ -162,6 +201,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     t_lo = out[lo]["queries"]["er_pipeline"]
     t_hi = out[hi]["queries"]["er_pipeline"]
     eff = (t_lo / t_hi) / (hi / lo)
+    rs_lo = out[lo]["queries"].get("rs_jac", 0) + out[lo]["queries"].get("rs_lev", 0)
+    rs_hi = out[hi]["queries"].get("rs_jac", 0) + out[hi]["queries"].get("rs_lev", 0)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -173,6 +214,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"turns_per_sec_{hi}": out[hi]["turns_per_sec"],
         "speedup": round(t_lo / t_hi, 2),
         "ideal_speedup": hi / lo,
+        f"rs_sec_{lo}": round(rs_lo, 3),
+        f"rs_sec_{hi}": round(rs_hi, 3),
+        "rs_efficiency": round((rs_lo / rs_hi) / (hi / lo), 3) if rs_hi else None,
     }
 
 

@@ -351,7 +351,13 @@ def lev_sim_self_join(
     import pyarrow.compute as pc
     import ray
 
-    proj = _proj(docs, attr)
+    # materialize the NARROW (conv_id, val) projection once: the class path
+    # below slices it ~2x-per-class (self + adjacent RS), and lmax / counts
+    # / the verify value maps each consume it too — without this every
+    # consumer re-executes the full upstream DAG (measured 282 s -> 8 s on
+    # the sf0.01 skewed-head driver query, dominated by re-running the
+    # canonicalize sort per slice)
+    proj = _proj(docs, attr).materialize()
     lmax_pd = proj.map_batches(
         lambda t: pa.table({"l": pa.array(
             [pc.max(pc.utf8_length(pc.cast(t.column("val"), pa.string()))).as_py() or 0],
@@ -361,32 +367,48 @@ def lev_sim_self_join(
     lmax = int(lmax_pd["l"].max()) if len(lmax_pd) else 0
     K = int(np.floor((1.0 - s) * lmax + 1e-9))
     if n_records is None:
-        n_records = docs.count()
+        n_records = proj.count()
 
     def len_slice(lo: int, hi: int):
-        """docs rows with lo < len(attr) <= hi (len of the ""-filled value)."""
+        """proj rows with lo < len(val) <= hi (len of the ""-filled value)."""
         def f(t: pa.Table) -> pa.Table:
-            ln = pc.utf8_length(pc.fill_null(pc.cast(t.column(attr), pa.string()), ""))
+            ln = pc.utf8_length(pc.fill_null(pc.cast(t.column("val"), pa.string()), ""))
             mask = pc.and_(pc.greater(ln, lo), pc.less_equal(ln, hi))
             return t.filter(mask)
 
-        return docs.map_batches(f, batch_format="pyarrow")
+        return proj.map_batches(f, batch_format="pyarrow")
 
     if K < bucket_min_k:
-        pairs = edit_self_join(docs, attr, K, cfg, n_records=n_records)
+        pairs = edit_self_join(proj, "val", K, cfg, n_records=n_records)
     else:
         tops = _lev_sim_length_tops(lmax, s)
         bounds = [-1] + tops  # class i covers (bounds[i], bounds[i+1]]
+        # one histogram pass -> per-class row counts, so EMPTY classes spawn
+        # no join pipeline at all: on a skewed corpus (the whole point of
+        # the decomposition) most classes hold nothing, and each skipped
+        # class saves ~3 shuffle stages of pure orchestration overhead
+        tops_arr = np.asarray(tops, np.int64)
+        hist = proj.map_batches(
+            lambda t: pa.table({"cls": pa.array(np.searchsorted(
+                tops_arr, np.asarray(pc.utf8_length(pc.fill_null(
+                    pc.cast(t.column("val"), pa.string()), "")),
+                    dtype=np.int64)), pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["cls"].value_counts()
+        counts = {int(c): int(n) for c, n in hist.items()}
         parts = []
         for i, top in enumerate(tops):
             ki = int(np.floor((1.0 - s) * top + 1e-9))
-            parts.append(edit_self_join(
-                len_slice(bounds[i], top), attr, ki, cfg))
-            if i + 1 < len(tops):
+            if counts.get(i, 0) >= 2:
+                parts.append(edit_self_join(
+                    len_slice(bounds[i], top), "val", ki, cfg,
+                    n_records=counts[i]))
+            if i + 1 < len(tops) and counts.get(i, 0) and counts.get(i + 1, 0):
                 kij = int(np.floor((1.0 - s) * tops[i + 1] + 1e-9))
                 rs = edit_rs_join(
                     len_slice(bounds[i], top),
-                    len_slice(top, tops[i + 1]), attr, kij, cfg)
+                    len_slice(top, tops[i + 1]), "val", kij, cfg,
+                    n_records=counts[i] + counts[i + 1])
 
                 def canon(df: pd.DataFrame) -> pd.DataFrame:
                     # RS output is (A, B) order; self-join consumers expect
@@ -399,9 +421,16 @@ def lev_sim_self_join(
                                          "sim": df["sim"].to_numpy(np.float64)})
 
                 parts.append(rs.map_batches(canon, batch_format="pandas"))
-        pairs = parts[0]
-        for p in parts[1:]:
-            pairs = pairs.union(p)
+        if not parts:  # no class holds a potential pair
+            pairs = ray.data.from_arrow(pa.table({
+                "id1": pa.array([], pa.string()),
+                "id2": pa.array([], pa.string()),
+                "sim": pa.array([], pa.float64()),
+            }))
+        else:
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.union(p)
 
     lens = proj.map_batches(
         lambda t: pa.table({

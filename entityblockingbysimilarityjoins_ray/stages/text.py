@@ -35,23 +35,32 @@ def _text_col(t, text_col):
     return pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
 
 
-def text_stats(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text") -> "ray.data.Dataset":
+def text_stats(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text",
+               include_token_counts: bool = False) -> "ray.data.Dataset":
     """n_chars, n_words (\\s+ tokens), n_alpha, n_digit per doc — all ints
     (order-independent, engine-comparison-safe).  Pure pyarrow.compute
-    kernels (RE2) — no per-row Python; same engine as the DuckDB oracle."""
+    kernels (RE2) — no per-row Python; same engine as the DuckDB oracle.
+
+    ``include_token_counts`` appends the token_count columns
+    (n_tokens_ws/n_tokens_bpe) in the same single pass — one scan instead
+    of two when a pipeline wants both."""
     import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
         s = _text_col(t, text_col)
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "n_chars": pc.cast(pc.utf8_length(s), pa.int64()),
-                "n_words": pc.cast(pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64()),
-                "n_alpha": pc.cast(pc.count_substring_regex(s, "[a-zA-Z]"), pa.int64()),
-                "n_digit": pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64()),
-            }
-        )
+        cols = {
+            id_col: t.column(id_col),
+            "n_chars": pc.cast(pc.utf8_length(s), pa.int64()),
+            "n_words": pc.cast(pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64()),
+            "n_alpha": pc.cast(pc.count_substring_regex(s, "[a-zA-Z]"), pa.int64()),
+            "n_digit": pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64()),
+        }
+        if include_token_counts:
+            cols["n_tokens_ws"] = pc.cast(
+                pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64())
+            cols["n_tokens_bpe"] = pc.cast(
+                pc.count_substring_regex(s, BPE_PATTERN), pa.int64())
+        return pa.table(cols)
 
     return docs.map_batches(f, batch_format="pyarrow")
 

@@ -52,13 +52,14 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 ORACLE_NAMES = [
     "canonicalize", "token_df", "block_jac", "block_overlap", "block_exm_head",
-    "block_anm_turns", "block_lev_head", "block_rules_union", "topk_blended",
-    "cluster_jac", "megallen_wide", "dedup_exact_docs", "doc_fingerprint",
+    "block_anm_turns", "block_lev_head", "block_lev_sim", "block_rules_union",
+    "topk_blended",
+    "cluster_jac", "megallen_wide", "dedup_exact_docs",
     "dedup_token_jac_docs", "ann_topk", "embed_dup_pairs", "text_stats",
     "lang_id", "events_window",
     "block_jac_rs", "block_overlap_rs", "block_exm_rs", "block_anm_rs",
     "block_lev_rs", "block_jac_weighted",
-    "topk_allscore", "topk_allscore_weighted", "quality_docs", "token_count",
+    "topk_allscore", "topk_allscore_weighted", "quality_docs",
     "block_fused_union", "block_dice", "block_jac_weighted_rs", "token_df_qgram",
     "events_sessionize", "events_asof", "events_in_sessions",
     "tpch_pricing", "tpch_top_customers",

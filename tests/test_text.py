@@ -76,6 +76,38 @@ def test_token_count_ops(ray_session):
         assert r["n_tokens_bpe"] == len(pat.findall(s))
 
 
+def test_fingerprint_md5(ray_session):
+    """md5 content fingerprint matches hashlib on every row (the operator's
+    oracle now lives here — its driver query was retired to fit the
+    50-query check budget)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.text import fingerprint_md5
+
+    df = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    out = fingerprint_md5(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    for _, r in out.iterrows():
+        s = TEXTS[int(r["doc_id"])]
+        assert r["fp"] == hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def test_text_stats_token_columns(ray_session):
+    """text_stats(include_token_counts=True) appends the token_count columns
+    with identical values in one pass."""
+    import ray.data as rd
+
+    from entityblockingbysimilarityjoins_ray.stages.text import text_stats
+
+    df = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    a = text_stats(rd.from_pandas(df), include_token_counts=True).to_pandas().sort_values("doc_id")
+    b = token_count(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(a["n_tokens_ws"]) == list(b["n_tokens_ws"])
+    assert list(a["n_tokens_bpe"]) == list(b["n_tokens_bpe"])
+    assert {"n_chars", "n_words", "n_alpha", "n_digit"} <= set(a.columns)
+
+
 def test_fingerprint_winnow_dataset(ray_session):
     import ray.data as rd
 
