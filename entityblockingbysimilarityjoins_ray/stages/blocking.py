@@ -1098,20 +1098,6 @@ def setsim_rs_join(
     The df table spans A ∪ B (the reference's combined dictionary,
     RStableAttr2IntVector tokenizer.cc:240-411), so both sides order their
     prefixes by the same global rarity."""
-    if df_table is None:
-        df_table = build_df_table(toks_a.union(toks_b))
-    df_ref = ray.put(df_table)
-    common = dict(
-        df_ref=df_ref, sim=sim, threshold=threshold,
-        pair_partitions=cfg.pair_partitions,
-        salt_df_threshold=cfg.salt_df_threshold, salt_factor=cfg.salt_factor,
-    )
-    sigs_a = toks_a.map_batches(
-        _emit_signatures, fn_kwargs=dict(common, rs_side=0), batch_format="pyarrow"
-    )
-    sigs_b = toks_b.map_batches(
-        _emit_signatures, fn_kwargs=dict(common, rs_side=1), batch_format="pyarrow"
-    )
     if broadcast is None:
         n_records = n_records if n_records is not None else toks_a.count() + toks_b.count()
         from .verify import should_broadcast
@@ -1124,12 +1110,43 @@ def setsim_rs_join(
             sz = None
         broadcast = should_broadcast(None, n_records, cfg.broadcast_limit,
                                      cfg.broadcast_bytes_limit, size_bytes=sz)
+    verify_idx = None
+    if df_table is None:
+        if broadcast:
+            # ONE driver collect yields BOTH the two-sided verify index and
+            # the combined-dictionary df table — the distributed df pass
+            # (union + sort shuffle over A ∪ B) is skipped entirely, the
+            # same economy the self-join's _SetsimShared makes
+            from .verify import collect_token_index_rs_with_df
+
+            verify_idx, df_table = collect_token_index_rs_with_df(toks_a, toks_b)
+        else:
+            df_table = build_df_table(toks_a.union(toks_b))
+    df_ref = ray.put(df_table)
+    common = dict(
+        df_ref=df_ref, sim=sim, threshold=threshold,
+        pair_partitions=cfg.pair_partitions,
+        salt_df_threshold=cfg.salt_df_threshold, salt_factor=cfg.salt_factor,
+    )
+    sigs_a = toks_a.map_batches(
+        _emit_signatures, fn_kwargs=dict(common, rs_side=0), batch_format="pyarrow"
+    )
+    sigs_b = toks_b.map_batches(
+        _emit_signatures, fn_kwargs=dict(common, rs_side=1), batch_format="pyarrow"
+    )
     if broadcast:
-        # slim (k1, k2) candidates stream straight into a balanced verify
-        # against the two-sided broadcast index; only survivors shuffle
+        # slim (k1, k2) candidates stream straight into a balanced inline
+        # verify against the two-sided broadcast index — NO pre-verify dedup
+        # shuffle: an RS split carries a far lower duplicate factor than the
+        # dup-dense self-join (measured ~2.5x vs ~50x at sf0.1), so
+        # re-verifying the copies is cheaper than sorting every candidate;
+        # the tiny survivor set dedups exactly on (k1, k2) afterwards
+        # (verified sims of duplicates are identical by construction)
         from .verify import collect_token_index_rs, hash_verify_rules_rs_batch
 
-        verify_ref = ray.put(collect_token_index_rs(toks_a, toks_b))
+        if verify_idx is None:
+            verify_idx = collect_token_index_rs(toks_a, toks_b)
+        verify_ref = ray.put(verify_idx)
         cands = sigs_a.union(sigs_b).groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
@@ -1138,13 +1155,17 @@ def setsim_rs_join(
                        "ids_out": False},
             batch_format="pyarrow",
         )
-        rows = dedupe_pairs(cands, cfg.pair_partitions).map_batches(
+        rows = cands.map_batches(
             hash_verify_rules_rs_batch,
             fn_kwargs=dict(toks_ref=verify_ref, rules=[(sim, threshold)]),
             batch_format="pyarrow",
             batch_size=8192,
         )
-        verified = rows.map_batches(_strip_rule_cols, batch_format="pyarrow")
+        verified = dedupe_pairs(
+            rows.map_batches(
+                lambda t: t.select(["id1", "id2", "sim", "k1", "k2"]),
+                batch_format="pyarrow"),
+            survivor_partitions(cfg))
     else:
         from .verify import build_token_shard_store, verify_pairs_sharded
 

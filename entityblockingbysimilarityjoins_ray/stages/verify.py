@@ -433,20 +433,44 @@ def hash_verify_rules_batch(batch: pa.Table, *, toks_ref,
 # ---------------------------------------------------------------------------
 
 
+def _ids_and_toks(tbl: pa.Table):
+    """(ids, flat token values, offsets) of a collected token table; an
+    empty dataset whose plan never produced a schema yields empty arrays."""
+    if "conv_id" not in tbl.column_names:
+        return (np.empty(0, object), np.empty(0, np.int64),
+                np.zeros(1, np.int64))
+    ids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    vals, offs = S.flatten_lists(tbl.column("toks"))
+    return ids, vals, offs
+
+
 def collect_token_index_rs(toks_a: "ray.data.Dataset", toks_b: "ray.data.Dataset"):
     """Two-table broadcast index: both sides' token hashes relabeled into ONE
     dense space so the fused-key kernel works across tables."""
+    return collect_token_index_rs_with_df(toks_a, toks_b)[0]
+
+
+def collect_token_index_rs_with_df(toks_a: "ray.data.Dataset",
+                                   toks_b: "ray.data.Dataset",
+                                   min_df: int = 2):
+    """collect_token_index_rs + the COMBINED-dictionary df table (unique +
+    counts over both sides' already-deduped bags) derived FREE from the same
+    collect — the RS twin of collect_token_index_with_df: under the
+    broadcast gate the distributed df pass over A ∪ B (one extra union +
+    sort shuffle) is skipped entirely.  Returns (index_tuple,
+    (df_toks_sorted, df_vals))."""
     ta = collect_arrow(toks_a.select_columns(["conv_id", "toks"]))
     tb = collect_arrow(toks_b.select_columns(["conv_id", "toks"]))
-    ids_a = ta.column("conv_id").to_numpy(zero_copy_only=False)
-    ids_b = tb.column("conv_id").to_numpy(zero_copy_only=False)
-    va, oa = S.flatten_lists(ta.column("toks"))
-    vb, ob = S.flatten_lists(tb.column("toks"))
-    uni = np.unique(np.concatenate((va, vb)))
+    ids_a, va, oa = _ids_and_toks(ta)
+    ids_b, vb, ob = _ids_and_toks(tb)
+    uni, counts = np.unique(np.concatenate((va, vb)), return_counts=True)
     dt = np.int32 if uni.size < (1 << 31) - 1 else np.int64
     la = np.searchsorted(uni, va).astype(dt)
     lb = np.searchsorted(uni, vb).astype(dt)
-    return (pd.Index(ids_a), la, oa, pd.Index(ids_b), lb, ob, int(uni.size) + 1)
+    keep = counts >= min_df  # df=1 widow tokens can't be shared (removeWidow)
+    return ((pd.Index(ids_a), la, oa, pd.Index(ids_b), lb, ob,
+             int(uni.size) + 1),
+            (uni[keep], counts[keep].astype(np.int64)))
 
 
 def broadcast_verify_rs_batch(batch: pa.Table, *, toks_ref, sim: str, threshold: float) -> pa.Table:
