@@ -15,7 +15,10 @@ variant stringjoin_parallel.h:487-488) — re-expressed as a Ray Data shuffle:
 - pairs form within identical keys (index-side x probe-side, bipartite);
   self-join additionally pairs index-index rows of equal length (triangle).
 - verification = exact Levenshtein <= D, via a broadcast value map under
-  ``broadcast_limit`` or two hash-partitioned joins above it (scale path).
+  ``broadcast_limit``; beyond it the slim (k1, k2) pairs grid-shuffle ONCE
+  against VALUE shard stores and verify in-cell
+  (verify.verify_pairs_sharded_values — no value broadcast, no per-side
+  hash join, cell-local dedup globally exact; the scale path).
 
 Signature hashing is vectorized: each length class becomes an (n, L) uint32
 codepoint matrix (numpy "U" view), and every (l, seg, shift) emission is one
@@ -36,7 +39,6 @@ import ray.data
 from ..config import PipelineConfig
 from ..functions import sims as S
 from ..functions.hashing import bipartite_pairs, bucket_of, get_broadcast
-from .blocking import dedupe_pairs
 
 _U64 = np.uint64
 _FNV_OFFSET = _U64(0xCBF29CE484222325)
@@ -216,15 +218,6 @@ def _edit_verify(batch: pd.DataFrame, *, val_ref, D: int) -> pd.DataFrame:
     return out
 
 
-def _edit_verify_joined(batch: pa.Table, D: int) -> pa.Table:
-    a = np.asarray(batch.column("val1").to_numpy(zero_copy_only=False), dtype=object)
-    b = np.asarray(batch.column("val2").to_numpy(zero_copy_only=False), dtype=object)
-    d = S.lev_dist_batch(a, b)
-    keep = d <= D
-    out = batch.select(["id1", "id2"]).filter(pa.array(keep))
-    return out.append_column("sim", pa.array(d[keep].astype(np.float64), pa.float64()))
-
-
 def _collect_vmap(proj: "ray.data.Dataset") -> pd.Series:
     from .verify import collect_arrow
 
@@ -237,15 +230,34 @@ def _collect_vmap(proj: "ray.data.Dataset") -> pd.Series:
     )
 
 
+def _lev_kernel(a: np.ndarray, b: np.ndarray, D: int):
+    """Grid-cell verify kernel: exact Levenshtein <= D over aligned payload
+    arrays; sim = the distance (the edit joins' output convention)."""
+    d = S.lev_dist_batch(a, b)
+    return d.astype(np.float64), d <= D
+
+
 def _edit_verify_stage(
     candidates, proj_a, proj_b, D: int, cfg: PipelineConfig, n_records: int | None
 ):
-    """Broadcast-or-join verification switch (mirrors verify_pairs)."""
+    """Broadcast-or-grid verification switch (mirrors verify_pairs).
+
+    ``candidates`` arrive RAW (with cross-bucket duplicates).  Under the
+    broadcast gate they dedupe first — the DuckDB lev kernel is expensive
+    per pair, so sorting the slim pairs beats re-verifying copies.  Beyond
+    it, the pairs grid-shuffle ONCE against VALUE shard stores
+    (verify.verify_pairs_sharded_values): cell-local dedup is globally
+    exact and the in-cell lev kernel needs no value broadcast — replacing
+    the former dedupe + two hash-join sorts, whose fixed shuffle latency
+    made the sf0.1 join-path lev RS leg run no faster at 32 cpus than 8."""
     import ray
+
+    from .blocking import dedupe_pairs
 
     if n_records is None:
         n_records = proj_a.count() + (0 if proj_b is proj_a else proj_b.count())
     if n_records <= cfg.broadcast_limit:
+        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
         vmap_a = _collect_vmap(proj_a)
         vmap_b = vmap_a if proj_b is proj_a else _collect_vmap(proj_b)
         ref = ray.put((vmap_a, vmap_b))
@@ -253,15 +265,37 @@ def _edit_verify_stage(
             _edit_verify, fn_kwargs=dict(val_ref=ref, D=D), batch_format="pandas",
             batch_size=8192,
         )
-    from .joins import hash_join
-    from .verify import _rename
+    from ..functions.hashing import hash_strings
+    from .blocking import verify_shards
+    from .verify import build_token_shard_store, verify_pairs_sharded_values
 
-    t1 = _rename(proj_a, {"conv_id": "cid1", "val": "val1"})
-    t2 = _rename(proj_b, {"conv_id": "cid2", "val": "val2"})
-    j = hash_join(candidates.select_columns(["id1", "id2"]), t1,
-                  on="id1", right_on="cid1", num_partitions=cfg.pair_partitions)
-    j = hash_join(j, t2, on="id2", right_on="cid2", num_partitions=cfg.pair_partitions)
-    return j.map_batches(_edit_verify_joined, fn_kwargs={"D": D}, batch_format="pyarrow")
+    ns = verify_shards(cfg)
+    self_mode = proj_b is proj_a
+    store_a = build_token_shard_store(
+        proj_a, num_shards=ns, store_dir=cfg.shard_store_dir,
+        payload_col="val")
+    store_b = (None if self_mode else build_token_shard_store(
+        proj_b, num_shards=ns, store_dir=cfg.shard_store_dir,
+        payload_col="val"))
+
+    def slim(t: pa.Table) -> pa.Table:
+        i1 = hash_strings(np.asarray(
+            t.column("id1").to_numpy(zero_copy_only=False), dtype=object))
+        i2 = hash_strings(np.asarray(
+            t.column("id2").to_numpy(zero_copy_only=False), dtype=object))
+        if self_mode:
+            # cell must be deterministic per pair; output re-canonicalizes
+            k1, k2 = np.minimum(i1, i2), np.maximum(i1, i2)
+        else:
+            k1, k2 = i1, i2
+        return pa.table({"k1": pa.array(k1, pa.int64()),
+                         "k2": pa.array(k2, pa.int64())})
+
+    slimmed = candidates.select_columns(["id1", "id2"]).map_batches(
+        slim, batch_format="pyarrow")
+    return verify_pairs_sharded_values(
+        slimmed, store_a, _lev_kernel, store_b=store_b,
+        kernel_kwargs={"D": D})
 
 
 def _proj(docs, attr):
@@ -281,7 +315,8 @@ def edit_self_join(
     candidates = sigs.groupby("pb").map_groups(
         _edit_pairgen, fn_kwargs={"D": D}, batch_format="pandas"
     )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+    # dedup happens inside the verify stage: a sort under the broadcast
+    # gate, cell-locally (exact) on the grid path
     return _edit_verify_stage(candidates, proj, proj, D, cfg, n_records)
 
 
@@ -303,7 +338,6 @@ def edit_rs_join(
     candidates = sigs.groupby("pb").map_groups(
         _edit_pairgen, fn_kwargs={"D": D, "rs": True}, batch_format="pandas"
     )
-    candidates = dedupe_pairs(candidates, cfg.pair_partitions)
     return _edit_verify_stage(candidates, proj_a, proj_b, D, cfg, n_records)
 
 
@@ -463,15 +497,18 @@ def lev_sim_self_join(
 
         return pairs.map_batches(filt, batch_format="pandas")
 
+    from .blocking import survivor_partitions
     from .joins import hash_join
     from .verify import _rename
 
+    # verified pairs are survivor-scale — join at the survivor fan-out, not
+    # the raw pairgen fan-out (see _edit_verify_stage)
     l1 = _rename(lens, {"cid": "cid1", "len": "len1"})
     l2 = _rename(lens, {"cid": "cid2", "len": "len2"})
     j = hash_join(pairs, l1, on="id1", right_on="cid1",
-                  num_partitions=cfg.pair_partitions)
+                  num_partitions=survivor_partitions(cfg))
     j = hash_join(j, l2, on="id2", right_on="cid2",
-                  num_partitions=cfg.pair_partitions)
+                  num_partitions=survivor_partitions(cfg))
 
     def filt_j(t: "pa.Table") -> "pa.Table":
         d = np.asarray(t.column("sim"), dtype=np.float64)

@@ -695,17 +695,24 @@ def _store_from_manifest(path: str, man: dict) -> dict:
     return {"path": path, "num_shards": int(man["num_shards"]),
             "id_type": _store_id_type(path),
             "generation": man.get("generation", ""),
-            "shard_rows": man.get("shard_rows", {})}
+            "shard_rows": man.get("shard_rows", {}),
+            "payload_col": man.get("payload_col", "toks")}
 
 
 def build_token_shard_store(
     toks_ds: "ray.data.Dataset", *, num_shards: int,
     store_dir: str | None = None, fp: str | None = None,
-    resume: bool = True,
+    resume: bool = True, payload_col: str = "toks",
 ) -> dict:
-    """Write ``toks_ds`` (conv_id, toks) as a Parquet store partitioned by
-    ``shard = hash(conv_id) % num_shards``; returns ``{"path", "num_shards",
-    "id_type", "generation", "shard_rows"}``.
+    """Write ``toks_ds`` (conv_id, <payload>) as a Parquet store partitioned
+    by ``shard = hash(conv_id) % num_shards``; returns ``{"path",
+    "num_shards", "id_type", "generation", "shard_rows"}``.
+
+    ``payload_col`` names the per-record payload: the default ``toks``
+    (list<int64> token sets, decoded by ``_load_shard`` for the set-sim
+    grid) or any other column — the value-payload grid
+    (``verify_pairs_sharded_values``) stores a string column and decodes it
+    with ``_load_value_shard``.
 
     Map-only (no shuffle): each task routes its rows and the Parquet writer
     splits them into the shard=N directories.  The id hash is the same
@@ -782,7 +789,7 @@ def build_token_shard_store(
                          dtype=object)
         idh = hash_strings(ids)
         c = t.column("conv_id")
-        ct = t.column("toks")
+        ct = t.column(payload_col)
         return pa.table({
             "shard": pa.array(bucket_of(idh, num_shards).astype(np.int32),
                               pa.int32()),
@@ -790,7 +797,7 @@ def build_token_shard_store(
             # id column kept at its ORIGINAL dtype (int ids stay ints in the
             # verify output, matching the id-carrying pair paths)
             "conv_id": c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
-            "toks": ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct,
+            payload_col: ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct,
         })
 
     from .joins import _pa_schema
@@ -800,7 +807,7 @@ def build_token_shard_store(
     # then only shapes (empty) verify outputs — default to string
     id_type = (sch.field("conv_id").type if "conv_id" in sch.names
                else pa.string())
-    (toks_ds.select_columns(["conv_id", "toks"])
+    (toks_ds.select_columns(["conv_id", payload_col])
         .map_batches(route, batch_format="pyarrow")
         .write_parquet(tmp_dir, partition_cols=["shard"]))
     # per-shard row counts from the Parquet footers (cheap metadata-only
@@ -815,7 +822,8 @@ def build_token_shard_store(
                 for f in os.listdir(sdir) if f.endswith(".parquet"))
         shard_rows[str(int(d.split("=", 1)[1]))] = int(n)
     man = {"fingerprint": fp, "num_shards": int(num_shards), "complete": True,
-           "generation": uuid.uuid4().hex, "shard_rows": shard_rows}
+           "generation": uuid.uuid4().hex, "shard_rows": shard_rows,
+           "payload_col": payload_col}
     with open(os.path.join(tmp_dir, _STORE_MANIFEST), "w") as f:
         json.dump(man, f)
     path = tmp_dir
@@ -834,7 +842,8 @@ def build_token_shard_store(
             raise
         path = final_dir
     return {"path": path, "num_shards": int(num_shards), "id_type": id_type,
-            "generation": man["generation"], "shard_rows": shard_rows}
+            "generation": man["generation"], "shard_rows": shard_rows,
+            "payload_col": payload_col}
 
 
 def _store_id_type(path: str):
@@ -850,14 +859,52 @@ def _store_id_type(path: str):
     return pq.read_schema(files[0]).field("conv_id").type
 
 
-def _load_shard(store: dict, shard: int) -> _Shard:
-    """Worker-cached load + decode of one shard (see ``_Shard``).
+def _read_shard_table(store: dict, shard: int, columns: list) -> "pa.Table | None":
+    """Read one shard's Parquet directory with the manifest integrity
+    checks shared by every shard decoder.
 
     A shard directory may legitimately be absent when no record hashed
     there (tiny inputs) — but ONLY if the store manifest agrees it holds 0
     rows.  A manifest-nonempty shard that is absent means this worker
     cannot see the store (node-local path on a multi-node cluster) and
     raises instead of silently dropping every candidate pair in its cells.
+    Returns None for a (verified) empty shard."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(store["path"], f"shard={int(shard)}")
+    expected = int(store.get("shard_rows", {}).get(str(int(shard)), 0))
+    if os.path.isdir(path):
+        t = pq.read_table(path, columns=columns)
+        if expected and t.num_rows != expected:
+            raise RuntimeError(
+                f"verify shard store {store['path']!r}: shard {int(shard)} "
+                f"has {t.num_rows} rows but the manifest records {expected} "
+                "— the store is corrupt or partially visible")
+        return t
+    if expected:
+        raise RuntimeError(
+            f"verify shard store {store['path']!r}: shard {int(shard)} "
+            f"is absent on this node but the manifest records {expected}"
+            " rows — the store is not on storage shared by all workers "
+            "(set PipelineConfig.shard_store_dir to cluster storage)")
+    return None
+
+
+def _cache_shard(key, got):
+    """Insert into the byte-bounded worker cache (see _SHARD_CACHE_BYTES):
+    evict FIFO until the budget holds; the entry being inserted is always
+    kept (callers hold live references to a cell's two shards anyway), so
+    an over-budget shard just means no cross-cell reuse — never an
+    incorrect result."""
+    total = sum(s.nbytes for s in _SHARD_CACHE.values())
+    while _SHARD_CACHE and total + got.nbytes > _SHARD_CACHE_BYTES:
+        total -= _SHARD_CACHE.pop(next(iter(_SHARD_CACHE))).nbytes
+    _SHARD_CACHE[key] = got
+    return got
+
+
+def _load_shard(store: dict, shard: int) -> _Shard:
+    """Worker-cached load + decode of one TOKEN-set shard (see ``_Shard``).
 
     The cache key carries the store's build ``generation``, so a rebuild at
     the same path can never serve a stale pre-rebuild entry."""
@@ -865,29 +912,14 @@ def _load_shard(store: dict, shard: int) -> _Shard:
     got = _SHARD_CACHE.get(key)
     if got is not None:
         return got
-    import pyarrow.parquet as pq
-
-    path = os.path.join(store["path"], f"shard={int(shard)}")
-    expected = int(store.get("shard_rows", {}).get(str(int(shard)), 0))
-    if os.path.isdir(path):
-        t = pq.read_table(path, columns=["idh", "conv_id", "toks"])
-        if expected and t.num_rows != expected:
-            raise RuntimeError(
-                f"verify shard store {store['path']!r}: shard {int(shard)} "
-                f"has {t.num_rows} rows but the manifest records {expected} "
-                "— the store is corrupt or partially visible")
+    t = _read_shard_table(store, shard, ["idh", "conv_id", "toks"])
+    if t is not None:
         idh = np.asarray(t.column("idh").to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
                          dtype=object)
         vals, offs = S.flatten_lists(t.column("toks"))
     else:
-        if expected:
-            raise RuntimeError(
-                f"verify shard store {store['path']!r}: shard {int(shard)} "
-                f"is absent on this node but the manifest records {expected}"
-                " rows — the store is not on storage shared by all workers "
-                "(set PipelineConfig.shard_store_dir to cluster storage)")
         idh = np.empty(0, np.int64)
         ids = np.empty(0, object)
         vals, offs = np.empty(0, np.int64), np.zeros(1, np.int64)
@@ -906,16 +938,49 @@ def _load_shard(store: dict, shard: int) -> _Shard:
     labels = np.searchsorted(uni, vals).astype(ldt)
     nbytes = (idh.nbytes + vals.nbytes + offs.nbytes + uni.nbytes
               + labels.nbytes + ids.size * 64)  # ids: rough per-object cost
-    got = _Shard(idx, ids, vals, offs, uni, labels, int(nbytes))
-    # byte-bounded FIFO: cumulative decoded bytes stay under the budget.
-    # The entry being inserted is always kept (callers hold live references
-    # to a cell's two shards anyway), so an over-budget shard just means no
-    # cross-cell reuse — never an incorrect result.
-    total = sum(s.nbytes for s in _SHARD_CACHE.values())
-    while _SHARD_CACHE and total + got.nbytes > _SHARD_CACHE_BYTES:
-        total -= _SHARD_CACHE.pop(next(iter(_SHARD_CACHE))).nbytes
-    _SHARD_CACHE[key] = got
-    return got
+    return _cache_shard(key, _Shard(idx, ids, vals, offs, uni, labels,
+                                    int(nbytes)))
+
+
+class _VShard(NamedTuple):
+    """One decoded VALUE shard (string payloads; worker-cached)."""
+
+    idx: "pd.Index"      # id-hash -> row
+    ids: np.ndarray      # original ids (object)
+    vals: np.ndarray     # payload strings (object)
+    nbytes: int
+
+
+def _load_value_shard(store: dict, shard: int) -> _VShard:
+    """Worker-cached load of one value shard (string payload column named
+    by the store's ``payload_col``); same manifest/generation contract as
+    ``_load_shard``."""
+    pc_name = store.get("payload_col", "val")
+    key = (store["path"], store.get("generation"), int(shard))
+    got = _SHARD_CACHE.get(key)
+    if got is not None:
+        return got
+    t = _read_shard_table(store, shard, ["idh", "conv_id", pc_name])
+    if t is not None:
+        idh = np.asarray(t.column("idh").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
+                         dtype=object)
+        vals = np.asarray(t.column(pc_name).to_numpy(zero_copy_only=False),
+                          dtype=object)
+    else:
+        idh = np.empty(0, np.int64)
+        ids = np.empty(0, object)
+        vals = np.empty(0, object)
+    idx = pd.Index(idh)
+    if not idx.is_unique:
+        raise RuntimeError(
+            "64-bit id-hash collision inside a verify shard; the hash-keyed "
+            "pair pipeline is unsound for this id set"
+        )
+    nbytes = (idh.nbytes + ids.size * 64
+              + int(sum(len(str(v)) for v in vals)) + vals.size * 64)
+    return _cache_shard(key, _VShard(idx, ids, vals, int(nbytes)))
 
 
 def _empty_verified(id1_type, id2_type) -> pa.Table:
@@ -1027,6 +1092,87 @@ def verify_pairs_sharded(
             "id1": pa.array(np.concatenate(p1), id1_t),
             "id2": pa.array(np.concatenate(p2), id2_t),
             "sim": pa.array(np.concatenate(ps), pa.float64()),
+        })
+
+    return (pairs_ds.select_columns(["k1", "k2"])
+            .map_batches(add_cell, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(verify_cell, batch_format="pyarrow"))
+
+
+def verify_pairs_sharded_values(
+    pairs_ds: "ray.data.Dataset",
+    store: dict,
+    kernel,
+    *,
+    store_b: dict | None = None,
+    kernel_kwargs: dict | None = None,
+) -> "ray.data.Dataset":
+    """Grid-verify slim ``(k1, k2)`` id-hash pairs against VALUE shard
+    stores (string payloads) with an arbitrary pairwise ``kernel``:
+    ``kernel(vals_a, vals_b, **kernel_kwargs) -> (sim float64, keep bool)``
+    over aligned per-pair payload arrays.  Emits globally-deduped
+    ``{id1, id2, sim}`` — duplicate candidates co-locate per cell, so the
+    cell-local dedup is globally exact; self-join ids lex-canonicalize.
+
+    This is the beyond-broadcast plan for verifies whose state is a
+    per-record SCALAR payload rather than a token set (edit-distance's
+    value strings): one slim pair shuffle, two worker-cached shard reads
+    per cell, no payload broadcast and no per-side hash join."""
+    from ..functions.hashing import bucket_of
+
+    kk = kernel_kwargs or {}
+    n_shards = store["num_shards"]
+    rs = store_b is not None
+    if rs and store_b["num_shards"] != n_shards:
+        raise ValueError("RS verify requires equal shard counts")
+    id1_t = store["id_type"]
+    id2_t = (store_b if rs else store)["id_type"]
+    empty = _empty_verified(id1_t, id2_t)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        cell = bucket_of(k1, n_shards) * n_shards + bucket_of(k2, n_shards)
+        return pa.table({
+            "cell": pa.array(cell.astype(np.int32), pa.int32()),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+        })
+
+    def verify_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cell = int(t.column("cell")[0].as_py())
+        s1, s2 = cell // n_shards, cell % n_shards
+        k1 = np.asarray(t.column("k1"), dtype=np.int64)
+        k2 = np.asarray(t.column("k2"), dtype=np.int64)
+        order = np.lexsort((k2, k1))
+        k1, k2 = k1[order], k2[order]
+        first = np.ones(k1.size, bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        k1, k2 = k1[first], k2[first]
+        sh1 = _load_value_shard(store, s1)
+        same = not rs and s2 == s1
+        sh2 = sh1 if same else _load_value_shard(store_b if rs else store, s2)
+        r1 = sh1.idx.get_indexer(k1)
+        r2 = sh2.idx.get_indexer(k2)
+        ok = (r1 >= 0) & (r2 >= 0)
+        r1, r2 = r1[ok], r2[ok]
+        if r1.size == 0:
+            return empty
+        sim, keep = kernel(sh1.vals[r1], sh2.vals[r2], **kk)
+        if not keep.any():
+            return empty
+        a = sh1.ids[r1[keep]]
+        b = sh2.ids[r2[keep]]
+        if not rs:
+            swap = a > b
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+        return pa.table({
+            "id1": pa.array(a, id1_t),
+            "id2": pa.array(b, id2_t),
+            "sim": pa.array(np.asarray(sim, np.float64)[keep], pa.float64()),
         })
 
     return (pairs_ds.select_columns(["k1", "k2"])

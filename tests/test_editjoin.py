@@ -127,3 +127,27 @@ def test_lev_sim_bucketed_matches_bruteforce(ray_session):
     assert set(got) == set(exp), (set(got) ^ set(exp))
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-12
+
+
+def test_edit_join_grid_path_matches_broadcast(ray_session):
+    """Forced beyond-broadcast edit joins (value-shard grid verify) are
+    output-identical to the broadcast family — self AND RS."""
+    from entityblockingbysimilarityjoins_ray.stages.editjoin import edit_rs_join
+
+    rng = np.random.default_rng(11)
+    df = _mk_docs(rng)
+    ds = ray.data.from_pandas(df)
+    grid_cfg = PipelineConfig(pair_partitions=8, broadcast_limit=0,
+                              broadcast_bytes_limit=0, verify_shards=3)
+    for D in (1, 2):
+        a = edit_self_join(ds, "head", D, CFG).to_pandas()
+        b = edit_self_join(ds, "head", D, grid_cfg).to_pandas()
+        assert (sorted(zip(a.id1, a.id2, a.sim))
+                == sorted(zip(b.id1, b.id2, b.sim)))
+    half_a = ray.data.from_pandas(df.iloc[::2].reset_index(drop=True))
+    half_b = ray.data.from_pandas(df.iloc[1::2].reset_index(drop=True))
+    a = edit_rs_join(half_a, half_b, "head", 2, CFG).to_pandas()
+    b = edit_rs_join(half_a, half_b, "head", 2, grid_cfg).to_pandas()
+    assert sorted(zip(a.id1, a.id2, a.sim)) == sorted(zip(b.id1, b.id2, b.sim))
+    # RS keeps (A, B) side order on both paths
+    assert all(i1 in set(df.iloc[::2].conv_id) for i1 in b.id1)

@@ -88,7 +88,8 @@ def test_query_matches_oracle(contract, con, name):
 # must stay oracle-identical.
 JOIN_PATH_NAMES = ["block_jac", "block_jac_rs", "megallen_wide",
                    "cluster_jac", "minhash_lsh_docs", "dedup_token_jac_docs",
-                   "block_jac_weighted", "block_jac_weighted_rs"]
+                   "block_jac_weighted", "block_jac_weighted_rs",
+                   "block_lev_head", "block_lev_rs", "block_lev_sim"]
 
 
 @pytest.mark.parametrize("name", JOIN_PATH_NAMES)
