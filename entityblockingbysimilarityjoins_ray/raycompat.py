@@ -26,6 +26,20 @@ from __future__ import annotations
 
 import logging
 
+
+def strip_pandas_metadata(t):
+    """Drop schema-level metadata from an Arrow table.
+
+    Ray converts a pandas block to Arrow with ``pa.Table.from_pandas``
+    semantics, which attach a ``pandas`` metadata blob to the schema.
+    ``pyarrow.Schema.__hash__`` raises on metadata-bearing schemas
+    (``unhashable type: 'dict'``), so every sort/groupby over such blocks
+    logs "Failed to hash the schemas (for deduplication)" per reduce task
+    AND loses Ray's schema-dedup fast path — a small real cost.  Arrow
+    stages that sit between a pandas-format stage and a shuffle call this
+    on their output."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
 _MARK = "Operator produced a RefBundle with a different schema"
 # str() of the three empty-schema spellings: None, empty pyarrow schema
 # (prints as ""), empty pandas block schema

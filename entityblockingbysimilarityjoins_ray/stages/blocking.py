@@ -51,6 +51,7 @@ from ..functions.hashing import (
     within_group_pairs,
 )
 from ..functions.tokenize import tokens_list_array
+from ..raycompat import strip_pandas_metadata
 
 logger = logging.getLogger(__name__)
 
@@ -555,7 +556,8 @@ def dedupe_pairs(pairs: "ray.data.Dataset", num_partitions: int, count_col: str 
             k2 = hash_strings(np.asarray(t.column("id2").to_numpy(zero_copy_only=False), dtype=object))
             t = t.append_column("k1", pa.array(k1, pa.int64()))
             t = t.append_column("k2", pa.array(k2, pa.int64()))
-        return t.append_column("pb", pa.array(bucket_of(k1, num_partitions), pa.int32()))
+        t = t.append_column("pb", pa.array(bucket_of(k1, num_partitions), pa.int32()))
+        return strip_pandas_metadata(t)
 
     def dd(t: pa.Table) -> pa.Table:
         k1 = np.asarray(t.column("k1"), dtype=np.int64)
