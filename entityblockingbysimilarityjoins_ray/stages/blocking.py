@@ -1137,25 +1137,34 @@ def setsim_rs_join(
         _emit_signatures, fn_kwargs=dict(common, rs_side=1), batch_format="pyarrow"
     )
     if broadcast:
-        # slim (k1, k2) candidates stream straight into a balanced inline
-        # verify against the two-sided broadcast index — NO pre-verify dedup
-        # shuffle: an RS split carries a far lower duplicate factor than the
-        # dup-dense self-join (measured ~2.5x vs ~50x at sf0.1), so
-        # re-verifying the copies is cheaper than sorting every candidate;
-        # the tiny survivor set dedups exactly on (k1, k2) afterwards
-        # (verified sims of duplicates are identical by construction)
+        # slim (k1, k2) candidates DEDUPE before the inline verify against
+        # the two-sided broadcast index, mirroring the self-join: RS raw
+        # candidates surface once per shared signature token too (measured
+        # ~39x duplicate factor on the sf0.1 conv-parity split — 1.22M
+        # verified rows collapsing to 31.5k pairs), so the 16-byte int
+        # shuffle is far cheaper than re-verifying the copies.  Post-dedup
+        # every (pair, rule) row is unique by construction — the former
+        # survivor-dedup shuffle drops to a projection.  RS pairs carry
+        # (A, B) order in (k1, k2), so the un-canonicalized dedup is exact.
         from .verify import collect_token_index_rs, hash_verify_rules_rs_batch
 
         if verify_idx is None:
             verify_idx = collect_token_index_rs(toks_a, toks_b)
         verify_ref = ray.put(verify_idx)
-        cands = sigs_a.union(sigs_b).groupby("pb").map_groups(
-            _pairgen_bucket,
-            fn_kwargs={"sim": sim, "threshold": threshold,
-                       "alpha": length_ratio(sim, threshold),
-                       "max_group_size": cfg.max_group_size, "rs": True,
-                       "ids_out": False},
-            batch_format="pyarrow",
+        # dedup fan-out: RS candidates are an order of magnitude lighter
+        # than the self-join's (one prefix overlap across tables, ~2.5x dup
+        # vs ~19x: 2.6M raw vs 31.7M at sf0.1), so an 8x smaller reduce fan
+        # avoids 2048 near-empty sort tasks while staying slim-pair-scale
+        cands = dedupe_pairs(
+            sigs_a.union(sigs_b).groupby("pb").map_groups(
+                _pairgen_bucket,
+                fn_kwargs={"sim": sim, "threshold": threshold,
+                           "alpha": length_ratio(sim, threshold),
+                           "max_group_size": cfg.max_group_size, "rs": True,
+                           "ids_out": False},
+                batch_format="pyarrow",
+            ),
+            max(survivor_partitions(cfg), cfg.pair_partitions // 8),
         )
         rows = cands.map_batches(
             hash_verify_rules_rs_batch,
@@ -1163,11 +1172,7 @@ def setsim_rs_join(
             batch_format="pyarrow",
             batch_size=8192,
         )
-        verified = dedupe_pairs(
-            rows.map_batches(
-                lambda t: t.select(["id1", "id2", "sim", "k1", "k2"]),
-                batch_format="pyarrow"),
-            survivor_partitions(cfg))
+        verified = rows.map_batches(_strip_rule_cols, batch_format="pyarrow")
     else:
         from .verify import build_token_shard_store, verify_pairs_sharded
 

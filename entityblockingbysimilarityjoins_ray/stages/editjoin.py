@@ -252,12 +252,16 @@ def _edit_verify_stage(
     made the sf0.1 join-path lev RS leg run no faster at 32 cpus than 8."""
     import ray
 
-    from .blocking import dedupe_pairs
+    from .blocking import dedupe_pairs, survivor_partitions
 
     if n_records is None:
         n_records = proj_a.count() + (0 if proj_b is proj_a else proj_b.count())
     if n_records <= cfg.broadcast_limit:
-        candidates = dedupe_pairs(candidates, cfg.pair_partitions)
+        # PassJoin candidates are signature-collision-bounded (~record-scale,
+        # not pair-scale: 41k raw from 50k records at sf0.1), so the dedup
+        # sort runs at the survivor fan-out — at the full pairgen fan-out its
+        # 2048 near-empty reduce tasks cost 3x the sort itself
+        candidates = dedupe_pairs(candidates, survivor_partitions(cfg))
         vmap_a = _collect_vmap(proj_a)
         vmap_b = vmap_a if proj_b is proj_a else _collect_vmap(proj_b)
         ref = ray.put((vmap_a, vmap_b))
