@@ -46,6 +46,36 @@ def test_qgram_counts_match_oracle(q):
         assert offs[i + 1] - offs[i] == len(oracle_tokens(s, "qgm", q)), (q, s)
 
 
+def test_qgram_long_run_and_slice_edges():
+    """Skewed run lengths (one 600-char alnum run among short tokens) and
+    sliced/chunked inputs exercise the flat buffer-native q-gram kernel's
+    offset math; gram identity pinned against a scalar FNV-1a mirror."""
+    off, prime, mask = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
+
+    def fnv(s: str) -> int:
+        h = off
+        for ch in s.encode("ascii"):
+            h = ((h ^ ch) * prime) & mask
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    texts = ["a" * 600 + " xy " + "b" * 5, "", "ab", "x1y2z3" * 200,
+             "héllo wörld abc123", "日本語 test123 日本", "a b c"]
+    arr = pa.array(texts, type=pa.string())
+    vals, offs = tokenize_array(arr, "qgm", 3)
+    for i, s in enumerate(texts):
+        got = sorted(int(x) for x in vals[offs[i]: offs[i + 1]])
+        exp = sorted({fnv(g) for g in oracle_tokens(s, "qgm", 3)})
+        assert got == exp, (i, s[:40])
+    # a sliced array shares (offset into) the full value buffer
+    sv, so = tokenize_array(arr.slice(2, 4), "qgm", 3)
+    for i in range(4):
+        got = sorted(int(x) for x in sv[so[i]: so[i + 1]])
+        exp = sorted({fnv(g) for g in oracle_tokens(texts[2 + i], "qgm", 3)})
+        assert got == exp, ("slice", i)
+    cv, co = tokenize_array(pa.chunked_array([texts[:3], texts[3:]]), "qgm", 3)
+    assert np.array_equal(cv, vals) and np.array_equal(co, offs)
+
+
 @given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=40), max_size=8))
 @settings(max_examples=60, deadline=None)
 def test_dlm_tokenizer_property(texts):
