@@ -88,15 +88,22 @@ class _SetsimShared:
                 # rule taking the beyond-broadcast grid-verify path
                 from ..stages.verify import build_token_shard_store
 
-                # the fingerprint folds the INPUT's identity (record count),
-                # not just config: a different dataset at the same
-                # shard_store_dir must rebuild, never silently reuse a stale
-                # token store; cfg.resume=False forces a rebuild outright
+                # the fingerprint folds the INPUT's identity, not just
+                # config: when the store is keyed (shard_store_dir set, so a
+                # later run may resume it) that identity is a distributed
+                # CONTENT fingerprint — row count + id-hash xor + token-hash
+                # sum — so an edited corpus with the same count can never
+                # silently reuse a stale token store; cfg.resume=False
+                # forces a rebuild outright
+                from ..stages.verify import dataset_content_fp
+
+                ident = (dataset_content_fp(toks)
+                         if self.cfg.shard_store_dir else self.n_records())
                 entry["shard_store"] = build_token_shard_store(
                     toks, num_shards=B.verify_shards(self.cfg),
                     store_dir=self.cfg.shard_store_dir,
                     fp=fingerprint("shard_store", key, self.cfg.num_buckets,
-                                   self.cfg.doc_sep, self.n_records()),
+                                   self.cfg.doc_sep, ident),
                     resume=self.cfg.resume)
             self._by_key[key] = entry
         return self._by_key[key]

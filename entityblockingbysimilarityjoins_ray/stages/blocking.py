@@ -609,26 +609,29 @@ def _strip_rule_cols(t: pa.Table) -> pa.Table:
 def empty_record_ids(toks_ds, limit: int = 5_000_000) -> list:
     """ids of empty-token records (full scan, do ONCE per tokenization).
 
-    The COUNT streams first: the id list itself is driver-materialized (it
-    seeds the ray.put broadcast that the distributed clique expansion in
-    _empty_pairs_ds reads), so a pathological corpus whose empties exceed
-    ``limit`` fails LOUDLY with the fix — include_empty_pairs=False, or
-    clean the corpus — instead of OOMing the driver; the n²/2 empty-pair
-    clique itself would be astronomically large well before the cap."""
+    ONE bounded pass: ``limit(limit + 1)`` caps the pull at limit+1 ids —
+    the same driver/broadcast-memory ceiling as the success path (the list
+    seeds the ray.put broadcast the distributed clique expansion in
+    _empty_pairs_ds reads) — so a pathological corpus whose empties exceed
+    ``limit`` fails LOUDLY with the fix (include_empty_pairs=False, or
+    clean the corpus) instead of OOMing the driver, without the former
+    count-then-collect double execution of the upstream DAG; the n²/2
+    empty-pair clique itself would be astronomically large well before
+    the cap."""
     import pyarrow.compute as pc
 
     empties = toks_ds.map_batches(
         lambda t: t.filter(pc.equal(t["tlen"], 0)).select(["conv_id"]),
         batch_format="pyarrow",
     )
-    n = empties.count()
-    if n > limit:
+    ids = [r["conv_id"] for r in empties.limit(limit + 1).take_all()]
+    if len(ids) > limit:
         raise RuntimeError(
-            f"{n} empty-token records exceed the {limit}-id driver/broadcast "
+            f"over {limit} empty-token records exceed the driver/broadcast "
             "cap for the empty-pair clique (jaccard(∅,∅)=1.0 would emit "
-            f"~{n * (n - 1) // 2} pairs); set include_empty_pairs=False or "
-            "drop empty records upstream")
-    return sorted(r["conv_id"] for r in empties.take_all())
+            "~n²/2 pairs); set include_empty_pairs=False or drop empty "
+            "records upstream")
+    return sorted(ids)
 
 
 def _empty_pairs_ds(toks_ds, cfg: PipelineConfig, ids: list | None = None):

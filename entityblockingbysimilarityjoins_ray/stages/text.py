@@ -56,8 +56,9 @@ def text_stats(docs: "ray.data.Dataset", *, id_col="doc_id", text_col="text",
             "n_digit": pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64()),
         }
         if include_token_counts:
-            cols["n_tokens_ws"] = pc.cast(
-                pc.count_substring_regex(s, r"[^ \t\n\f\r]+"), pa.int64())
+            # same definition as n_words: share the array, skip a second
+            # full RE2 scan of the corpus text
+            cols["n_tokens_ws"] = cols["n_words"]
             cols["n_tokens_bpe"] = pc.cast(
                 pc.count_substring_regex(s, BPE_PATTERN), pa.int64())
         return pa.table(cols)

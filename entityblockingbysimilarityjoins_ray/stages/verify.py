@@ -644,7 +644,17 @@ def verify_pairs_rs(
 # multi-node cluster fails loudly instead of silently dropping pairs.
 
 _SHARD_CACHE: dict = {}
-_SHARD_CACHE_BYTES = int(os.environ.get("GRAFT_SHARD_CACHE_BYTES", 1 << 30))
+_SHARD_CACHE_BYTES = 1 << 30  # default; see _shard_cache_bytes()
+
+
+def _shard_cache_bytes() -> int:
+    """Worker shard-cache byte budget, read from GRAFT_SHARD_CACHE_BYTES at
+    USE time (not import): a module-import read never sees a driver-side
+    export on a pre-started cluster whose workers fork from raylets.  On
+    such clusters set the variable via runtime_env so worker processes
+    inherit it; tests monkeypatch the module default."""
+    v = os.environ.get("GRAFT_SHARD_CACHE_BYTES")
+    return int(v) if v else _SHARD_CACHE_BYTES
 
 _STORE_MANIFEST = "_STORE_MANIFEST.json"
 
@@ -697,6 +707,56 @@ def _store_from_manifest(path: str, man: dict) -> dict:
             "generation": man.get("generation", ""),
             "shard_rows": man.get("shard_rows", {}),
             "payload_col": man.get("payload_col", "toks")}
+
+
+def dataset_content_fp(ds: "ray.data.Dataset", payload_col: str = "toks") -> str:
+    """Order-invariant CONTENT fingerprint of a (conv_id, payload) dataset:
+    row count + xor of id hashes + wrapping sum of payload hashes, as one
+    cheap distributed pass and a tiny driver combine.
+
+    Callers keying a resumable shard store fold this into ``fp`` so a
+    different corpus (edited values, swapped ids) can NEVER silently reuse
+    a stale store — a bare row count is config, not input identity."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_strings
+
+    def part(t: pa.Table) -> pa.Table:
+        zero = pa.table({"n": pa.array([0], pa.int64()),
+                         "x": pa.array([0], pa.int64()),
+                         "s": pa.array([0], pa.int64())})
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return zero
+        ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
+                         dtype=object)
+        x = np.bitwise_xor.reduce(hash_strings(ids).view(np.uint64))
+        col = t.column(payload_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            v = np.asarray(col.flatten(), dtype=np.int64).view(np.uint64)
+        else:
+            sv = np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+            v = hash_strings(sv).view(np.uint64)
+        s = np.sum(v, dtype=np.uint64) if v.size else np.uint64(0)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "x": pa.array([int(x.astype(np.int64))], pa.int64()),
+            "s": pa.array([int(s.astype(np.int64))], pa.int64()),
+        })
+
+    try:
+        ds = ds.select_columns(["conv_id", payload_col])
+    except Exception:
+        pass  # schema-less empty dataset: part()'s guard covers it
+    parts = collect_arrow(ds.map_batches(part, batch_format="pyarrow"))
+    if "n" not in parts.column_names:
+        return "0-0-0"
+    n = int(pc.sum(parts.column("n")).as_py() or 0)
+    xs = np.asarray(parts.column("x"), dtype=np.int64).view(np.uint64)
+    ss = np.asarray(parts.column("s"), dtype=np.int64).view(np.uint64)
+    x = int(np.bitwise_xor.reduce(xs)) if xs.size else 0
+    s = int(np.sum(ss, dtype=np.uint64)) if ss.size else 0
+    return f"{n}-{x:016x}-{s:016x}"
 
 
 def build_token_shard_store(
@@ -771,7 +831,30 @@ def build_token_shard_store(
                 and man.get("complete")):
             return _store_from_manifest(final_dir, man)
         if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)
+            # a stale/incomplete store blocks the final rename: move it aside
+            # ATOMICALLY rather than rmtree in place — a peer may complete
+            # its build between our manifest check and the delete, and an
+            # rmtree here would destroy its just-installed valid store.  The
+            # rename arbitrates (exactly one mover wins); if what we moved
+            # aside turns out to be a peer's completed store, reinstall or
+            # adopt it instead of rebuilding.
+            stale = final_dir + ".stale-" + uuid.uuid4().hex
+            try:
+                os.rename(final_dir, stale)
+            except OSError:
+                pass  # a peer moved (or installed over) it first
+            else:
+                man2 = _read_store_manifest(stale)
+                if (resume and man2 is not None
+                        and man2.get("fingerprint") == fp
+                        and man2.get("num_shards") == int(num_shards)
+                        and man2.get("complete")):
+                    try:
+                        os.rename(stale, final_dir)
+                        return _store_from_manifest(final_dir, man2)
+                    except OSError:
+                        pass  # another builder installed one meanwhile
+                shutil.rmtree(stale, ignore_errors=True)
         # UNIQUE tmp dir: two concurrent builds of the same fingerprint must
         # not rmtree each other mid-write; the rename below arbitrates
         tmp_dir = tempfile.mkdtemp(
@@ -896,8 +979,9 @@ def _cache_shard(key, got):
     kept (callers hold live references to a cell's two shards anyway), so
     an over-budget shard just means no cross-cell reuse — never an
     incorrect result."""
+    budget = _shard_cache_bytes()
     total = sum(s.nbytes for s in _SHARD_CACHE.values())
-    while _SHARD_CACHE and total + got.nbytes > _SHARD_CACHE_BYTES:
+    while _SHARD_CACHE and total + got.nbytes > budget:
         total -= _SHARD_CACHE.pop(next(iter(_SHARD_CACHE))).nbytes
     _SHARD_CACHE[key] = got
     return got

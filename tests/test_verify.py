@@ -125,6 +125,27 @@ def test_shard_store_fingerprint_reuse(ray_session, tmp_path):
     assert set(zip(got["id1"], got["id2"])) == {("a", "b")}
 
 
+def test_dataset_content_fp_detects_changed_corpus(ray_session):
+    """Same row count, different content -> different fingerprint (the
+    property that makes keyed-store resume safe); order-invariant over
+    shuffled rows; string payloads supported."""
+    from entityblockingbysimilarityjoins_ray.stages.verify import dataset_content_fp
+
+    rows = [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [9])]
+    fp1 = dataset_content_fp(_mk_toks(rows))
+    assert fp1 == dataset_content_fp(_mk_toks(list(reversed(rows))))
+    edited = [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [10])]  # same count
+    assert dataset_content_fp(_mk_toks(edited)) != fp1
+    swapped = [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("d", [9])]  # id change
+    assert dataset_content_fp(_mk_toks(swapped)) != fp1
+    vals = ray.data.from_pandas(pd.DataFrame(
+        {"conv_id": ["a", "b"], "val": ["x", "y"]}))
+    vals2 = ray.data.from_pandas(pd.DataFrame(
+        {"conv_id": ["a", "b"], "val": ["x", "z"]}))
+    assert (dataset_content_fp(vals, payload_col="val")
+            != dataset_content_fp(vals2, payload_col="val"))
+
+
 def test_shard_cache_byte_bound(ray_session, monkeypatch):
     """The worker shard cache evicts by cumulative DECODED BYTES: total
     resident bytes never exceed max(budget, newest entry) — the documented
