@@ -27,15 +27,22 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import bucket_of, hash_strings
 
 
-def _add_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
-    batch = batch.copy()
-    batch["_bucket"] = bucket_of(hash_strings(batch["conv_id"].to_numpy(object)), num_buckets)
-    return batch
+def _add_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    # Arrow-native: the upstream Parquet read hands Arrow blocks, and a
+    # pandas round-trip here copied the whole turn table (and fed pandas
+    # blocks to the sort) just to append one int column
+    ids = np.asarray(
+        pc.cast(t.column("conv_id"), pa.string()).to_numpy(zero_copy_only=False),
+        dtype=object)
+    b = bucket_of(hash_strings(ids), num_buckets).astype(np.int32)
+    return t.append_column("_bucket", pa.array(b, pa.int32()))
 
 
 def _canon_bucket(df: pd.DataFrame, sep: str) -> pd.DataFrame:
@@ -62,7 +69,7 @@ def canonicalize(
     """turn rows -> one canonical record per conv_id (exact, single shuffle)."""
     return (
         transcripts.map_batches(
-            _add_bucket, fn_kwargs={"num_buckets": num_buckets}, batch_format="pandas"
+            _add_bucket, fn_kwargs={"num_buckets": num_buckets}, batch_format="pyarrow"
         )
         .groupby("_bucket")
         .map_groups(_canon_bucket, fn_kwargs={"sep": sep}, batch_format="pandas")
