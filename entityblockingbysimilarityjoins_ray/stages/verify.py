@@ -652,9 +652,17 @@ def _shard_cache_bytes() -> int:
     USE time (not import): a module-import read never sees a driver-side
     export on a pre-started cluster whose workers fork from raylets.  On
     such clusters set the variable via runtime_env so worker processes
-    inherit it; tests monkeypatch the module default."""
+    inherit it.  Env wins over the module default; tests therefore patch
+    the ENV (monkeypatch.setenv), not the module attribute.  An unparsable
+    value falls back to the default rather than failing deep inside a
+    worker task."""
     v = os.environ.get("GRAFT_SHARD_CACHE_BYTES")
-    return int(v) if v else _SHARD_CACHE_BYTES
+    if v:
+        try:
+            return int(v)
+        except ValueError:
+            pass
+    return _SHARD_CACHE_BYTES
 
 _STORE_MANIFEST = "_STORE_MANIFEST.json"
 
@@ -709,38 +717,59 @@ def _store_from_manifest(path: str, man: dict) -> dict:
             "payload_col": man.get("payload_col", "toks")}
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 (vectorized, wrapping)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def dataset_content_fp(ds: "ray.data.Dataset", payload_col: str = "toks") -> str:
-    """Order-invariant CONTENT fingerprint of a (conv_id, payload) dataset:
-    row count + xor of id hashes + wrapping sum of payload hashes, as one
-    cheap distributed pass and a tiny driver combine.
+    """Order-invariant CONTENT fingerprint of a (conv_id, payload) dataset,
+    as one cheap distributed pass and a tiny driver combine.
+
+    Per row: the payload reduces to a row hash (splitmix64 of each token
+    then an in-row wrapping sum + count, or the string hash for scalar
+    payloads), which is then MIXED WITH the row's id hash; the dataset
+    fingerprint is the wrapping sum of the per-row mixes plus the count.
+    Binding id to payload per row before the commutative combine defeats
+    the collisions a naive (xor of ids, sum of payloads) pair allows:
+    payload swaps between ids, same-sum token edits ([1,2,3] vs [6]), and
+    duplicate-id xor cancellation all change the result.
 
     Callers keying a resumable shard store fold this into ``fp`` so a
-    different corpus (edited values, swapped ids) can NEVER silently reuse
-    a stale store — a bare row count is config, not input identity."""
+    different corpus can never silently reuse a stale store — a bare row
+    count is config, not input identity."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import hash_strings
 
     def part(t: pa.Table) -> pa.Table:
         zero = pa.table({"n": pa.array([0], pa.int64()),
-                         "x": pa.array([0], pa.int64()),
                          "s": pa.array([0], pa.int64())})
         if t.num_rows == 0 or "conv_id" not in t.column_names:
             return zero
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
                          dtype=object)
-        x = np.bitwise_xor.reduce(hash_strings(ids).view(np.uint64))
+        idh = hash_strings(ids).view(np.uint64)
         col = t.column(payload_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-            v = np.asarray(col.flatten(), dtype=np.int64).view(np.uint64)
+            vals, offs = S.flatten_lists(col)
+            g = _mix64(vals.view(np.uint64))
+            csum = np.zeros(g.size + 1, np.uint64)
+            np.cumsum(g, out=csum[1:])  # wrapping
+            row_sum = csum[offs[1:]] - csum[offs[:-1]]
+            cnt = np.diff(offs).astype(np.uint64)
+            row_payload = _mix64(row_sum ^ _mix64(cnt))
         else:
             sv = np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
-            v = hash_strings(sv).view(np.uint64)
-        s = np.sum(v, dtype=np.uint64) if v.size else np.uint64(0)
+            row_payload = hash_strings(sv).view(np.uint64)
+        row_fp = _mix64(idh ^ _mix64(row_payload))
+        s = np.sum(row_fp, dtype=np.uint64)
         return pa.table({
             "n": pa.array([t.num_rows], pa.int64()),
-            "x": pa.array([int(x.astype(np.int64))], pa.int64()),
             "s": pa.array([int(s.astype(np.int64))], pa.int64()),
         })
 
@@ -750,13 +779,11 @@ def dataset_content_fp(ds: "ray.data.Dataset", payload_col: str = "toks") -> str
         pass  # schema-less empty dataset: part()'s guard covers it
     parts = collect_arrow(ds.map_batches(part, batch_format="pyarrow"))
     if "n" not in parts.column_names:
-        return "0-0-0"
+        return "0-0"
     n = int(pc.sum(parts.column("n")).as_py() or 0)
-    xs = np.asarray(parts.column("x"), dtype=np.int64).view(np.uint64)
     ss = np.asarray(parts.column("s"), dtype=np.int64).view(np.uint64)
-    x = int(np.bitwise_xor.reduce(xs)) if xs.size else 0
     s = int(np.sum(ss, dtype=np.uint64)) if ss.size else 0
-    return f"{n}-{x:016x}-{s:016x}"
+    return f"{n}-{s:016x}"
 
 
 def build_token_shard_store(
@@ -991,8 +1018,10 @@ def _load_shard(store: dict, shard: int) -> _Shard:
     """Worker-cached load + decode of one TOKEN-set shard (see ``_Shard``).
 
     The cache key carries the store's build ``generation``, so a rebuild at
-    the same path can never serve a stale pre-rebuild entry."""
-    key = (store["path"], store.get("generation"), int(shard))
+    the same path can never serve a stale pre-rebuild entry, and a decoder
+    KIND marker, so a store read through both this and ``_load_value_shard``
+    can never serve the other decoder's NamedTuple."""
+    key = ("toks", store["path"], store.get("generation"), int(shard))
     got = _SHARD_CACHE.get(key)
     if got is not None:
         return got
@@ -1037,10 +1066,11 @@ class _VShard(NamedTuple):
 
 def _load_value_shard(store: dict, shard: int) -> _VShard:
     """Worker-cached load of one value shard (string payload column named
-    by the store's ``payload_col``); same manifest/generation contract as
-    ``_load_shard``."""
-    pc_name = store.get("payload_col", "val")
-    key = (store["path"], store.get("generation"), int(shard))
+    by the store's recorded ``payload_col`` — same 'toks' manifest fallback
+    as ``_store_from_manifest``, ONE default everywhere); same
+    manifest/generation/kind cache contract as ``_load_shard``."""
+    pc_name = store.get("payload_col", "toks")
+    key = ("values", store["path"], store.get("generation"), int(shard))
     got = _SHARD_CACHE.get(key)
     if got is not None:
         return got
@@ -1050,20 +1080,21 @@ def _load_value_shard(store: dict, shard: int) -> _VShard:
                          dtype=np.int64)
         ids = np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False),
                          dtype=object)
+        payload_nbytes = int(t.column(pc_name).nbytes)  # Arrow buffer size
         vals = np.asarray(t.column(pc_name).to_numpy(zero_copy_only=False),
                           dtype=object)
     else:
         idh = np.empty(0, np.int64)
         ids = np.empty(0, object)
         vals = np.empty(0, object)
+        payload_nbytes = 0
     idx = pd.Index(idh)
     if not idx.is_unique:
         raise RuntimeError(
             "64-bit id-hash collision inside a verify shard; the hash-keyed "
             "pair pipeline is unsound for this id set"
         )
-    nbytes = (idh.nbytes + ids.size * 64
-              + int(sum(len(str(v)) for v in vals)) + vals.size * 64)
+    nbytes = idh.nbytes + ids.size * 64 + payload_nbytes + vals.size * 64
     return _cache_shard(key, _VShard(idx, ids, vals, int(nbytes)))
 
 
@@ -1093,6 +1124,8 @@ def verify_pairs_sharded(
 
     rl = rules if rules is not None else [(sim, threshold)]
     n_shards = store["num_shards"]
+    if n_shards > 46_340:  # sqrt(2^31): the int32 cell id would overflow
+        raise ValueError(f"verify grid supports at most 46340 shards, got {n_shards}")
     rs = store_b is not None
     if rs and store_b["num_shards"] != n_shards:
         raise ValueError("RS verify requires equal shard counts")
@@ -1202,11 +1235,18 @@ def verify_pairs_sharded_values(
     This is the beyond-broadcast plan for verifies whose state is a
     per-record SCALAR payload rather than a token set (edit-distance's
     value strings): one slim pair shuffle, two worker-cached shard reads
-    per cell, no payload broadcast and no per-side hash join."""
+    per cell, no payload broadcast and no per-side hash join.
+
+    Output id dtype follows the STORE's conv_id dtype (same contract as
+    ``verify_pairs_sharded``); callers whose broadcast plan stringifies
+    ids must build the store from the same stringified projection (the
+    edit joins do, via ``_proj``) so the two plans stay output-identical."""
     from ..functions.hashing import bucket_of
 
     kk = kernel_kwargs or {}
     n_shards = store["num_shards"]
+    if n_shards > 46_340:  # sqrt(2^31): the int32 cell id would overflow
+        raise ValueError(f"verify grid supports at most 46340 shards, got {n_shards}")
     rs = store_b is not None
     if rs and store_b["num_shards"] != n_shards:
         raise ValueError("RS verify requires equal shard counts")

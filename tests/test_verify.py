@@ -144,6 +144,16 @@ def test_dataset_content_fp_detects_changed_corpus(ray_session):
         {"conv_id": ["a", "b"], "val": ["x", "z"]}))
     assert (dataset_content_fp(vals, payload_col="val")
             != dataset_content_fp(vals2, payload_col="val"))
+    # the collision classes a naive (xor ids, sum payloads) combine allows:
+    # payload swap between ids
+    assert (dataset_content_fp(_mk_toks([("a", [5]), ("b", [7])]))
+            != dataset_content_fp(_mk_toks([("a", [7]), ("b", [5])])))
+    # same-sum token edit
+    assert (dataset_content_fp(_mk_toks([("a", [1, 2, 3])]))
+            != dataset_content_fp(_mk_toks([("a", [6])])))
+    # duplicate-id xor cancellation
+    assert (dataset_content_fp(_mk_toks([("a", [1]), ("a", [2])]))
+            != dataset_content_fp(_mk_toks([("b", [1]), ("b", [2])])))
 
 
 def test_shard_cache_byte_bound(ray_session, monkeypatch):
@@ -157,10 +167,12 @@ def test_shard_cache_byte_bound(ray_session, monkeypatch):
     V._SHARD_CACHE.clear()
     shards = [V._load_shard(store, s) for s in range(8)]
     one = max(s.nbytes for s in shards)
-    # budget of ~2 shards: the cache must stay under it while cycling
+    # budget of ~2 shards: the cache must stay under it while cycling.
+    # Patch the ENV — it wins over the module default by design (the knob
+    # must be settable on a pre-started cluster via runtime_env)
     budget = 2 * one + 1
     monkeypatch.setattr(V, "_SHARD_CACHE", {})
-    monkeypatch.setattr(V, "_SHARD_CACHE_BYTES", budget)
+    monkeypatch.setenv("GRAFT_SHARD_CACHE_BYTES", str(budget))
     for s in range(8):
         V._load_shard(store, s)
         total = sum(x.nbytes for x in V._SHARD_CACHE.values())
@@ -168,10 +180,13 @@ def test_shard_cache_byte_bound(ray_session, monkeypatch):
     assert 1 <= len(V._SHARD_CACHE) <= 2
     # a budget smaller than any one shard still keeps the newest entry
     monkeypatch.setattr(V, "_SHARD_CACHE", {})
-    monkeypatch.setattr(V, "_SHARD_CACHE_BYTES", 1)
+    monkeypatch.setenv("GRAFT_SHARD_CACHE_BYTES", "1")
     for s in range(3):
         V._load_shard(store, s)
         assert len(V._SHARD_CACHE) == 1
+    # an unparsable env value falls back to the default, not a worker crash
+    monkeypatch.setenv("GRAFT_SHARD_CACHE_BYTES", "not-a-number")
+    assert V._shard_cache_bytes() == V._SHARD_CACHE_BYTES
 
 
 def test_load_shard_missing_nonempty_raises(ray_session, tmp_path):
