@@ -251,10 +251,13 @@ def _emit_signatures(
     pos_e = pos[keep].astype(np.int32)
     df_e = dfs_o[keep]
 
-    # salting: records under a hot token replicate across cells
+    # salting: records under a hot token replicate across cells.  With
+    # salt_factor <= 1 salting is DISABLED — every row is cold; marking
+    # hot rows unconditionally would silently drop them (the append below
+    # is gated on salt_factor > 1) and lose candidate pairs
     idh = hash_strings(ids)
     u_of = bucket_of(idh, max(salt_factor, 1))
-    hot = df_e > salt_df_threshold
+    hot = (df_e > salt_df_threshold) & (salt_factor > 1)
     base_side = np.int8(0 if rs_side in (None, 0) else 1)
     cold_tok, cold_row, cold_pos = tok_e[~hot], row_e[~hot], pos_e[~hot]
     cells = [(cold_tok, cold_row, cold_pos,
@@ -292,14 +295,16 @@ def _emit_signatures(
 
     gmix = tok_all.view(_U64) * _U64(0x9E3779B97F4A7C15) + cell_all.astype(_U64)
     pb = bucket_of(gmix, pair_partitions)
-    # idh carried so pair dedup is int-keyed downstream
+    # identity crosses the big shuffle as the 8-byte idh ONLY (pair dedup is
+    # int-keyed downstream and survivor ids materialize from the verify
+    # index / shard store) — per-row id strings, replicated salt_factor
+    # times for hot tokens, would be shuffled just to be discarded
     return pa.table(
         {
             "pb": pa.array(pb, type=pa.int32()),
             "tok": pa.array(tok_all, type=pa.int64()),
             "cell": pa.array(cell_all, type=pa.int32()),
             "side": pa.array(side_all, type=pa.int8()),
-            "id": pa.array(ids[row_all], type=pa.string()),
             "idh": pa.array(idh[row_all], type=pa.int64()),
             "tlen": pa.array(lens[row_all].astype(np.int32), type=pa.int32()),
             "pos": pa.array(pos_all, type=pa.int32()),
@@ -329,9 +334,10 @@ def pair_min_overlap(
     raise ValueError(sim)
 
 
-def _pair_range_triangle(sizes, cum, p_lo, p_hi):
+def _pair_range_triangle(cum, p_lo, p_hi):
     """Decode pair numbers [p_lo, p_hi) of back-to-back triangle groups into
-    (group, i, j) — the chunked form of within_group_pairs."""
+    (group, i, j) — the chunked form of within_group_pairs.  ``cum`` is the
+    cumulative per-group pair count."""
     p = np.arange(p_lo, p_hi, dtype=np.int64)
     grp = np.searchsorted(cum, p, side="right")
     base = np.where(grp > 0, cum[grp - 1], 0)
@@ -344,12 +350,27 @@ def _pair_range_triangle(sizes, cum, p_lo, p_hi):
     return grp, i, j
 
 
+def _iter_triangle_chunks(starts, sizes, chunk_pairs: int = 262_144):
+    """Yield (ii, jj) global-row-index chunks over ALL within-group pairs
+    of back-to-back sorted groups.  Bounded memory for arbitrarily hot
+    groups — a single equal-value clique of m records decodes its
+    m(m-1)/2 index space ``chunk_pairs`` at a time instead of
+    materializing it at once (the setsim path's chunked decode, shared by
+    the exact and anm joins)."""
+    npairs = sizes * (sizes - 1) // 2
+    cum = np.cumsum(npairs)
+    total = int(cum[-1]) if cum.size else 0
+    for p0 in range(0, total, chunk_pairs):
+        p1 = min(p0 + chunk_pairs, total)
+        grp, i, j = _pair_range_triangle(cum, p0, p1)
+        yield starts[grp] + i, starts[grp] + j
+
+
 def _pairgen_bucket(
     t: pa.Table, *, sim: str | None = None, threshold: float | None = None,
     alpha: float | None,
     max_group_size: int | None, chunk_pairs: int = 262_144, rs: bool = False,
     rules: list[tuple[str, float]] | None = None,
-    ids_out: bool = True,
 ) -> pa.Table:
     """Vectorized within-bucket candidate generation with PPJoin-style
     pruning (Xiao et al., WWW'08):
@@ -373,21 +394,16 @@ def _pairgen_bucket(
     tok = np.asarray(t.column("tok"), dtype=np.int64)
     cell = np.asarray(t.column("cell"), dtype=np.int64)
     side = np.asarray(t.column("side"), dtype=np.int64)
-    ids_raw = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
     idh_raw = np.asarray(t.column("idh"), dtype=np.int64)
     tlen = np.asarray(t.column("tlen"), dtype=np.int64)
     pos = np.asarray(t.column("pos"), dtype=np.int64)
     empty = pa.table(
-        {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
-        if not ids_out else
-        {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-         "k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
+        {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())})
     if tok.size == 0:
         return empty
 
     order = np.lexsort((side, cell, tok))
     tok, cell, side, tlen, pos = tok[order], cell[order], side[order], tlen[order], pos[order]
-    ids = ids_raw[order]
     idh = idh_raw[order]
 
     def _run_bounds(tok_s: np.ndarray, cell_s: np.ndarray):
@@ -400,20 +416,31 @@ def _pairgen_bucket(
 
     starts, sizes = _run_bounds(tok, cell)
 
-    if max_group_size is not None and sizes.size and sizes.max() > max_group_size:
-        big = int((sizes > max_group_size).sum())
-        dropped = int((sizes[sizes > max_group_size] - max_group_size).sum())
-        logger.warning(
-            "blocking: truncating %d hot groups (dropping %d signature rows, cap=%d)",
-            big, dropped, max_group_size,
-        )
-        local = np.arange(tok.size) - np.repeat(starts, sizes)
-        keep_mask = local < np.repeat(np.minimum(sizes, max_group_size), sizes)
-        tok, cell, side, ids, idh, tlen, pos = (
-            tok[keep_mask], cell[keep_mask], side[keep_mask], ids[keep_mask],
-            idh[keep_mask], tlen[keep_mask], pos[keep_mask],
-        )
-        starts, sizes = _run_bounds(tok, cell)
+    if max_group_size is not None and tok.size:
+        # cap PER (group, side): rows in a run sort side-0-first, so a
+        # whole-run cap on a skewed RS group would keep only index-side
+        # rows and emit ZERO cross pairs instead of a bounded subset;
+        # per-side caps keep min(n, cap) rows of EACH side (pairs bounded
+        # by cap^2 per group, recall degrades gracefully)
+        seg_change = np.ones(tok.size, bool)
+        seg_change[1:] = ((tok[1:] != tok[:-1]) | (cell[1:] != cell[:-1])
+                          | (side[1:] != side[:-1]))
+        seg_starts = np.flatnonzero(seg_change)
+        seg_sizes = np.diff(np.concatenate((seg_starts, [tok.size])))
+        if seg_sizes.max() > max_group_size:
+            local = np.arange(tok.size) - np.repeat(seg_starts, seg_sizes)
+            keep_mask = local < max_group_size
+            logger.warning(
+                "blocking: truncating %d hot group sides (dropping %d "
+                "signature rows, cap=%d)",
+                int((seg_sizes > max_group_size).sum()),
+                int(tok.size - int(keep_mask.sum())), max_group_size,
+            )
+            tok, cell, side, idh, tlen, pos = (
+                tok[keep_mask], cell[keep_mask], side[keep_mask],
+                idh[keep_mask], tlen[keep_mask], pos[keep_mask],
+            )
+            starts, sizes = _run_bounds(tok, cell)
 
     # split each run into side-0 and side-1 halves (side sorted within run)
     na = np.zeros(sizes.size, np.int64)
@@ -450,7 +477,7 @@ def _pairgen_bucket(
         total_tri = int(cum_tri[-1]) if cum_tri.size else 0
         for p0 in range(0, total_tri, chunk_pairs):
             p1 = min(p0 + chunk_pairs, total_tri)
-            grp, i, j = _pair_range_triangle(sizes_tri, cum_tri, p0, p1)
+            grp, i, j = _pair_range_triangle(cum_tri, p0, p1)
             emit(starts_tri[grp] + i, starts_tri[grp] + j)
 
     # bipartite groups (salted cross cells), chunked
@@ -488,31 +515,11 @@ def _pairgen_bucket(
     k1s, k2s = k1[order2], k2[order2]
     first = np.ones(k1s.size, bool)
     first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
-    keep_idx = order2[first]
-    if not ids_out:
-        # slim int-only emission: candidates leave as 16-byte (k1, k2) hash
-        # pairs ((A, B) order in rs mode); the hash-keyed verify stage
-        # materializes id strings for survivors only
-        return pa.table({"k1": pa.array(k1s[first], pa.int64()),
-                         "k2": pa.array(k2s[first], pa.int64())})
-    a_ids = ids[ii[keep_idx]].astype("U")
-    b_ids = ids[jj[keep_idx]].astype("U")
-    if rs:
-        id1, id2 = a_ids, b_ids
-    else:
-        # HASH-ordered emission (id1 = the k1 record): the downstream dedupe
-        # buckets and sorts on k1, so verify batches see contiguous id1 runs
-        # (bitmap kernel locality); verify canonicalizes survivor ids
-        # lexicographically at the end.
-        swap = h1[keep_idx] > h2[keep_idx]
-        id1 = np.where(swap, b_ids, a_ids)
-        id2 = np.where(swap, a_ids, b_ids)
-    return pa.table(
-        {"id1": pa.array(id1, pa.string()),
-         "id2": pa.array(id2, pa.string()),
-         "k1": pa.array(k1s[first], pa.int64()),
-         "k2": pa.array(k2s[first], pa.int64())}
-    )
+    # slim int-only emission: candidates leave as 16-byte (k1, k2) hash
+    # pairs ((A, B) order in rs mode); the hash-keyed verify stages
+    # materialize id strings for survivors only
+    return pa.table({"k1": pa.array(k1s[first], pa.int64()),
+                     "k2": pa.array(k2s[first], pa.int64())})
 
 
 def verify_shards(cfg: PipelineConfig) -> int:
@@ -784,8 +791,7 @@ def setsim_self_join(
                 _pairgen_bucket,
                 fn_kwargs={"sim": sim, "threshold": threshold,
                            "alpha": length_ratio(sim, threshold),
-                           "max_group_size": cfg.max_group_size,
-                           "ids_out": False},
+                           "max_group_size": cfg.max_group_size},
                 batch_format="pyarrow",
             ),
             cfg.pair_partitions,
@@ -807,8 +813,7 @@ def setsim_self_join(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
-                       "max_group_size": cfg.max_group_size,
-                       "ids_out": False},
+                       "max_group_size": cfg.max_group_size},
             batch_format="pyarrow",
         )
         if shard_store is None:
@@ -895,8 +900,7 @@ def setsim_self_join_multi(
             sigs.groupby("pb").map_groups(
                 _pairgen_bucket,
                 fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
-                           "max_group_size": cfg.max_group_size,
-                           "ids_out": False},
+                           "max_group_size": cfg.max_group_size},
                 batch_format="pyarrow",
             ),
             cfg.pair_partitions,
@@ -914,8 +918,7 @@ def setsim_self_join_multi(
         candidates = sigs.groupby("pb").map_groups(
             _pairgen_bucket,
             fn_kwargs={"rules": rules, "alpha": fused_length_ratio(rules),
-                       "max_group_size": cfg.max_group_size,
-                       "ids_out": False},
+                       "max_group_size": cfg.max_group_size},
             batch_format="pyarrow",
         )
         if shard_store is None:
@@ -986,17 +989,25 @@ def exact_self_join(
                           dtype="U")
         order = np.argsort(vh, kind="stable")
         vh, ids, vals = vh[order], ids[order], vals[order]
-        _, sizes = group_sizes_from_sorted(vh)
-        ii, jj = within_group_pairs(sizes)
-        # guard against u64 hash collisions: require true value equality
-        if ii.size:
+        starts, sizes = group_sizes_from_sorted(vh)
+        # chunked decode: a hot equal-value clique (e.g. a null-heavy attr
+        # all mapping to "") never materializes its full m^2/2 index space
+        p1l, p2l = [], []
+        for ii, jj in _iter_triangle_chunks(starts, sizes):
+            # guard against u64 hash collisions: require true value equality
             eq = vals[ii] == vals[jj]
             ii, jj = ii[eq], jj[eq]
-        a, b = ids[ii], ids[jj]
-        swap = a > b
+            a, b = ids[ii], ids[jj]
+            swap = a > b
+            p1l.append(np.where(swap, b, a))
+            p2l.append(np.where(swap, a, b))
+        if not p1l:
+            return _EMPTY_PAIRS
+        a = np.concatenate(p1l)
+        b = np.concatenate(p2l)
         return pa.table({
-            "id1": pa.array(np.where(swap, b, a), pa.string()),
-            "id2": pa.array(np.where(swap, a, b), pa.string()),
+            "id1": pa.array(a, pa.string()),
+            "id2": pa.array(b, pa.string()),
             "sim": pa.array(np.ones(a.size, np.float64), pa.float64()),
         })
 
@@ -1049,26 +1060,31 @@ def anm_self_join(
         own = np.asarray(t.column("own"), dtype=bool)
         order = np.argsort(bk, kind="stable")
         bk, ids, v, own = bk[order], ids[order], v[order], own[order]
-        _, sizes = group_sizes_from_sorted(bk)
-        # ONE vectorized pass over all log-buckets in this partition (no
-        # per-bucket Python loop): within_group_pairs over the contiguous
-        # sorted runs yields every in-bucket (i, j) pair at once
-        ii, jj = within_group_pairs(sizes)
-        # exclude guest-guest pairs: a both-native pair meets in its own
-        # bucket; counting it again where both are guests double-counts
-        keep = own[ii] | own[jj]
-        ii, jj = ii[keep], jj[keep]
-        d1, d2 = v[ii], v[jj]
-        maxv = np.maximum(np.abs(d1), np.abs(d2))
-        rel = np.abs(d1 - d2) / maxv
-        s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
-        ok = (s >= threshold) & (ids[ii] != ids[jj])
-        a, b = ids[ii][ok], ids[jj][ok]
-        swap = a > b
+        starts, sizes = group_sizes_from_sorted(bk)
+        # chunked vectorized decode over all log-buckets: a dense band's
+        # quadratic index space materializes chunk_pairs at a time
+        p1l, p2l, sl = [], [], []
+        for ii, jj in _iter_triangle_chunks(starts, sizes):
+            # exclude guest-guest pairs: a both-native pair meets in its own
+            # bucket; counting it again where both are guests double-counts
+            keep = own[ii] | own[jj]
+            ii, jj = ii[keep], jj[keep]
+            d1, d2 = v[ii], v[jj]
+            maxv = np.maximum(np.abs(d1), np.abs(d2))
+            rel = np.abs(d1 - d2) / maxv
+            s = np.where(rel <= 1e-5, 1.0, 1.0 - rel)
+            ok = (s >= threshold) & (ids[ii] != ids[jj])
+            a, b = ids[ii][ok], ids[jj][ok]
+            swap = a > b
+            p1l.append(np.where(swap, b, a))
+            p2l.append(np.where(swap, a, b))
+            sl.append(s[ok])
+        if not p1l:
+            return _EMPTY_PAIRS
         return pa.table({
-            "id1": pa.array(np.where(swap, b, a), pa.string()),
-            "id2": pa.array(np.where(swap, a, b), pa.string()),
-            "sim": pa.array(s[ok], pa.float64()),
+            "id1": pa.array(np.concatenate(p1l), pa.string()),
+            "id2": pa.array(np.concatenate(p2l), pa.string()),
+            "sim": pa.array(np.concatenate(sl), pa.float64()),
         })
 
     return (
@@ -1163,8 +1179,7 @@ def setsim_rs_join(
                 _pairgen_bucket,
                 fn_kwargs={"sim": sim, "threshold": threshold,
                            "alpha": length_ratio(sim, threshold),
-                           "max_group_size": cfg.max_group_size, "rs": True,
-                           "ids_out": False},
+                           "max_group_size": cfg.max_group_size, "rs": True},
                 batch_format="pyarrow",
             ),
             max(survivor_partitions(cfg), cfg.pair_partitions // 8),
@@ -1183,8 +1198,7 @@ def setsim_rs_join(
             _pairgen_bucket,
             fn_kwargs={"sim": sim, "threshold": threshold,
                        "alpha": length_ratio(sim, threshold),
-                       "max_group_size": cfg.max_group_size, "rs": True,
-                       "ids_out": False},
+                       "max_group_size": cfg.max_group_size, "rs": True},
             batch_format="pyarrow",
         )
         ns = verify_shards(cfg)
@@ -1343,5 +1357,7 @@ def anm_rs_join(
     sigs = docs_a.map_batches(sig(0), batch_format="pyarrow").union(
         docs_b.map_batches(sig(1), batch_format="pyarrow")
     )
-    out = sigs.groupby("pb").map_groups(pairs, batch_format="pyarrow")
-    return dedupe_pairs(out, cfg.pair_partitions)
+    # no dedup shuffle: A's three shifted copies and B's single native copy
+    # meet in exactly ONE bucket (bk intersection is a single band), the
+    # same emitted-exactly-once argument exact_rs_join and anm_self_join use
+    return sigs.groupby("pb").map_groups(pairs, batch_format="pyarrow")

@@ -139,7 +139,9 @@ def _emit_weighted_signatures(
     # df > salt_df  <=>  w < log10(N/salt_df); derive the cut from defaults
     # (default_wt = log10 N)
     w_cut = default_wt - np.log10(max(float(salt_df_threshold), 1.0))
-    hot = wtok_e < w_cut
+    # salt_factor <= 1 disables salting: every row must stay cold, or the
+    # gated hot-append below would silently drop hot-token signatures
+    hot = (wtok_e < w_cut) & (salt_factor > 1)
     base_side = np.int8(0 if rs_side in (None, 0) else 1)
     cells = [(tok_e[~hot], row_e[~hot], wrem_e[~hot], wtok_e[~hot],
               np.zeros(int((~hot).sum()), np.int32),

@@ -74,6 +74,19 @@ def test_setsim_salting_is_exact(tiny_docs, toks_dlm):
     assert got == exp
 
 
+def test_setsim_salting_disabled_is_exact(tiny_docs, toks_dlm):
+    """salt_factor=1 DISABLES salting: rows over the df threshold must stay
+    on the cold path, not be silently dropped (pairs whose only shared
+    prefix tokens are hot would vanish)."""
+    _, pdocs = tiny_docs
+    off = PipelineConfig(num_buckets=8, pair_partitions=8,
+                         salt_df_threshold=1, salt_factor=1)
+    pairs = setsim_self_join(toks_dlm, sim="jac", threshold=0.6, cfg=off)
+    got = {(r["id1"], r["id2"]) for r in pairs.take_all()}
+    exp = _oracle_pairs(pdocs, "doc", "dlm", S.jaccard, 0.6)
+    assert got == exp
+
+
 def test_exact_join(tiny_docs):
     docs, pdocs = tiny_docs
     pairs = exact_self_join(docs, "head", CFG)
